@@ -1,0 +1,94 @@
+"""Affinity property tests (mirrors reference test_affinity.py:63-414).
+
+Checks shapes, marginals, entropies, symmetry, and dense-vs-sparse
+consistency for every affinity.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torchdr_tpu.affinity import (
+    EntropicAffinity,
+    NormalizedGaussianAffinity,
+    NormalizedStudentAffinity,
+    SinkhornAffinity,
+    SymmetricEntropicAffinity,
+)
+
+
+@pytest.fixture(scope="module")
+def X():
+    rng = np.random.default_rng(0)
+    return rng.normal(size=(120, 10)).astype(np.float32)
+
+
+class TestEntropicAffinity:
+    def test_entropy_constraint_dense(self, X):
+        perp = 20
+        aff = EntropicAffinity(perplexity=perp, sparsity=False)
+        logP = aff(X, log=True, return_indices=False)
+        P = np.exp(np.asarray(logP)) * X.shape[0]  # undo 1/n
+        H = -np.sum(P * (np.log(P + 1e-30) - 1.0), axis=1)
+        assert np.abs(H - (np.log(perp) + 1)).max() < 1e-3
+        assert np.abs(P.sum(1) - 1.0).max() < 1e-4
+
+    def test_sparse_entropy_constraint(self, X):
+        # Sparse mode calibrates on the 3·perplexity-NN support; the entropy
+        # and marginal constraints must hold on that support.
+        perp = 10
+        vals, idx = EntropicAffinity(perplexity=perp, sparsity=True)(
+            X, log=False, return_indices=True
+        )
+        P = np.asarray(vals) * X.shape[0]
+        assert idx.shape == (X.shape[0], 3 * perp)
+        assert np.abs(P.sum(1) - 1.0).max() < 1e-4
+        H = -np.sum(P * (np.log(P + 1e-30) - 1.0), axis=1)
+        assert np.abs(H - (np.log(perp) + 1)).max() < 1e-3
+
+    def test_perplexity_clamped(self, X):
+        aff = EntropicAffinity(perplexity=1000, sparsity=False)
+        logP = aff(X, log=True, return_indices=False)
+        assert np.isfinite(np.asarray(logP)).all()
+
+
+class TestSinkhorn:
+    @pytest.mark.parametrize("base_kernel", ["gaussian", "student"])
+    def test_doubly_stochastic(self, X, base_kernel):
+        aff = SinkhornAffinity(eps=1.0, base_kernel=base_kernel)
+        P = np.asarray(aff(X)) * X.shape[0]
+        assert np.abs(P.sum(1) - 1.0).max() < 1e-3
+        assert np.abs(P - P.T).max() < 1e-5
+
+
+class TestSEA:
+    def test_marginals_and_entropy(self, X):
+        perp = 20
+        aff = SymmetricEntropicAffinity(perplexity=perp, lr=1e-1, max_iter=800)
+        P = np.asarray(aff(X)) * X.shape[0]
+        assert np.abs(P - P.T).max() < 1e-5
+        assert np.abs(P.sum(1) - 1.0).max() < 5e-3
+        H = -np.sum(P * (np.log(P + 1e-30) - 1.0), axis=1)
+        assert np.abs(H - (np.log(perp) + 1)).max() < 0.2
+
+
+class TestNormalized:
+    def test_gaussian_total_mass(self, X):
+        aff = NormalizedGaussianAffinity(normalization_dim=(0, 1))
+        P = np.asarray(aff(X))
+        assert abs(P.sum() - 1.0) < 1e-4
+
+    def test_gaussian_row_norm(self, X):
+        aff = NormalizedGaussianAffinity(normalization_dim=1)
+        P = np.asarray(aff(X)) * X.shape[0]
+        assert np.abs(P.sum(1) - 1.0).max() < 1e-4
+
+    def test_student_total_mass(self, X):
+        aff = NormalizedStudentAffinity(normalization_dim=(0, 1))
+        P = np.asarray(aff(X))
+        assert abs(P.sum() - 1.0) < 1e-4
+
+    def test_unnormalized_gaussian(self, X):
+        aff = NormalizedGaussianAffinity(normalization_dim=None, sigma=2.0)
+        P = np.asarray(aff(X))
+        assert P.max() <= 1.0 + 1e-6

@@ -1,0 +1,80 @@
+"""Quality-gate integration tests for neighbor-embedding estimators.
+
+Mirrors the reference strategy (torchdr/tests/test_neighbor_embedding.py:
+42-95): run each estimator on two-moons (n=100) and require
+silhouette(Z, y) > 0.15 plus correct output shape.
+"""
+
+import numpy as np
+import pytest
+
+import torchdr_tpu as tdr
+
+SIL_FLOOR = 0.15
+
+
+def _check_quality(model, X, y, floor=SIL_FLOOR):
+    Z = model.fit_transform(X)
+    assert Z.shape == (X.shape[0], 2)
+    assert np.isfinite(np.asarray(Z)).all()
+    score = tdr.silhouette_score(Z, y)
+    assert score > floor, f"silhouette {score} below {floor}"
+    return Z
+
+
+class TestTSNE:
+    def test_quality(self, toy_moons):
+        X, y = toy_moons
+        _check_quality(tdr.TSNE(perplexity=15, max_iter=500, random_state=0), X, y)
+
+    def test_deterministic_with_seed(self, toy_moons):
+        X, y = toy_moons
+        Z1 = tdr.TSNE(perplexity=15, max_iter=50, random_state=42).fit_transform(X)
+        Z2 = tdr.TSNE(perplexity=15, max_iter=50, random_state=42).fit_transform(X)
+        assert np.allclose(Z1, Z2, atol=1e-5)
+
+    def test_random_init(self, toy_moons):
+        X, y = toy_moons
+        Z = tdr.TSNE(
+            perplexity=15, max_iter=300, init="normal", random_state=0
+        ).fit_transform(X)
+        assert Z.shape == (100, 2)
+
+    def test_numpy_in_numpy_out(self, toy_moons):
+        X, y = toy_moons
+        Z = tdr.TSNE(perplexity=10, max_iter=20).fit_transform(X)
+        assert isinstance(Z, np.ndarray)
+
+
+class TestSNE:
+    def test_quality(self, toy_moons):
+        X, y = toy_moons
+        _check_quality(tdr.SNE(perplexity=15, max_iter=500, random_state=0), X, y)
+
+
+class TestDuplicates:
+    def test_duplicate_rows_mapped_back(self, toy_moons):
+        X, y = toy_moons
+        X_dup = np.concatenate([X, X[:10]], axis=0)
+        model = tdr.TSNE(perplexity=10, max_iter=30, random_state=0)
+        Z = model.fit_transform(X_dup)
+        assert Z.shape == (110, 2)
+        # duplicated inputs must receive identical embeddings
+        assert np.allclose(Z[100:], Z[:10], atol=1e-6)
+
+
+class TestValidation:
+    def test_perplexity_too_large(self, toy_moons):
+        X, y = toy_moons
+        with pytest.raises(ValueError, match="smaller than perplexity"):
+            tdr.TSNE(perplexity=200).fit_transform(X)
+
+    def test_bad_init(self, toy_moons):
+        X, y = toy_moons
+        with pytest.raises(ValueError, match="init"):
+            tdr.TSNE(perplexity=10, init="bogus", max_iter=5).fit_transform(X)
+
+    def test_bad_optimizer(self, toy_moons):
+        X, y = toy_moons
+        with pytest.raises(ValueError, match="Optimizer"):
+            tdr.TSNE(perplexity=10, optimizer="Bogus", max_iter=5).fit_transform(X)

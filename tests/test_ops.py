@@ -1,0 +1,161 @@
+"""Tests for the compute primitives (mirrors reference test_utils.py scope)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.scipy.special import logsumexp
+
+from torchdr_tpu.ops import (
+    binary_search,
+    false_position,
+    knn_graph,
+    pairwise_distances,
+    pairwise_distances_indexed,
+    pairwise_logkernel_logsumexp,
+    pairwise_logkernel_rowlse,
+    sparse_to_dense,
+    symmetrize_sparse,
+    svd_flip,
+)
+from torchdr_tpu.ops.metrics import LIST_METRICS, pairwise_block
+
+
+@pytest.fixture(scope="module")
+def data():
+    key = jax.random.PRNGKey(0)
+    return jax.random.normal(key, (100, 8))
+
+
+class TestDistances:
+    def test_sqeuclidean_matches_naive(self, data):
+        C, _ = pairwise_distances(data, metric="sqeuclidean")
+        naive = ((data[:, None, :] - data[None, :, :]) ** 2).sum(-1)
+        assert jnp.abs(C - naive).max() < 1e-4
+
+    @pytest.mark.parametrize("metric", ["euclidean", "manhattan", "angular"])
+    def test_metrics_shapes(self, data, metric):
+        C = pairwise_block(data, data, metric)
+        assert C.shape == (100, 100)
+        if metric != "angular":
+            assert float(C.min()) >= 0
+
+    def test_sqhyperbolic(self):
+        key = jax.random.PRNGKey(1)
+        X = 0.3 * jax.random.uniform(key, (20, 2))
+        C = pairwise_block(X, X, "sqhyperbolic")
+        assert bool(jnp.all(jnp.isfinite(C)))
+        assert C.shape == (20, 20)
+
+    def test_knn_graph_exact(self, data):
+        d, idx = knn_graph(data, k=7, block_size=16)
+        naive = ((data[:, None, :] - data[None, :, :]) ** 2).sum(-1)
+        naive = naive + 1e12 * jnp.eye(100)
+        expected = jnp.sort(naive, axis=1)[:, :7]
+        assert jnp.abs(jnp.sort(d, axis=1) - expected).max() < 1e-3
+        # recall must be 100% (exact Flat tier)
+        nn_sets = np.argsort(np.asarray(naive), axis=1)[:, :7]
+        recall = np.mean(
+            [len(set(np.asarray(idx[i])) & set(nn_sets[i])) / 7 for i in range(100)]
+        )
+        assert recall == 1.0
+
+    def test_knn_vs_y(self, data):
+        Y = data[:37]
+        d, idx = knn_graph(data, Y, k=3, exclude_diag=False, block_size=32)
+        assert idx.shape == (100, 3)
+        assert int(idx.max()) < 37
+
+    def test_indexed_2d(self, data):
+        _, idx = knn_graph(data, k=5)
+        D = pairwise_distances_indexed(data, key_indices=idx)
+        naive = ((data[:, None, :] - data[None, :, :]) ** 2).sum(-1)
+        expected = jnp.take_along_axis(naive, idx, axis=1)
+        assert jnp.abs(D - expected).max() < 1e-4
+
+    def test_indexed_1d_queries(self, data):
+        q = jnp.arange(10)
+        D = pairwise_distances_indexed(data, query_indices=q)
+        assert D.shape == (10, 100)
+
+
+class TestBlockwiseReduce:
+    def test_rowlse_matches_dense(self):
+        Z = jax.random.normal(jax.random.PRNGKey(2), (37, 2))
+        got = pairwise_logkernel_rowlse(Z, "student", True, 8)
+        lq = jnp.where(
+            jnp.eye(37, dtype=bool), -jnp.inf,
+            -jnp.log1p(((Z[:, None] - Z[None]) ** 2).sum(-1)),
+        )
+        assert jnp.abs(got - logsumexp(lq, axis=1)).max() < 1e-5
+
+    @pytest.mark.parametrize("kernel", ["student", "gaussian"])
+    def test_custom_vjp_matches_autodiff(self, kernel):
+        Z = jax.random.normal(jax.random.PRNGKey(3), (29, 2))
+
+        def f_blk(Z):
+            return pairwise_logkernel_logsumexp(Z, kernel, True, 8)
+
+        def f_dense(Z):
+            D = ((Z[:, None] - Z[None]) ** 2).sum(-1)
+            lq = -jnp.log1p(D) if kernel == "student" else -D
+            lq = jnp.where(jnp.eye(Z.shape[0], dtype=bool), -jnp.inf, lq)
+            return logsumexp(lq)
+
+        g1, g2 = jax.grad(f_blk)(Z), jax.grad(f_dense)(Z)
+        assert jnp.abs(g1 - g2).max() < 1e-5
+
+
+class TestRootSearch:
+    def test_binary_search(self):
+        t = jnp.linspace(1.0, 10.0, 50)
+        r = binary_search(lambda x: x**2 - t, 50, max_iter=200)
+        assert jnp.abs(r - jnp.sqrt(t)).max() < 1e-4
+
+    def test_false_position(self):
+        t = jnp.linspace(1.0, 10.0, 50)
+        r = false_position(lambda x: x**2 - t, 50, max_iter=200)
+        assert jnp.abs(r - jnp.sqrt(t)).max() < 1e-4
+
+    def test_bracket_expansion(self):
+        # root far outside the initial [1, 1] bracket
+        t = jnp.asarray([1e4, 1e-4])
+        r = binary_search(lambda x: x - t, 2, max_iter=300)
+        assert jnp.abs(r - t).max() < 1e-3
+
+
+class TestSparse:
+    @pytest.mark.parametrize("mode", ["sum", "sum_minus_prod"])
+    def test_symmetrize_matches_dense(self, mode):
+        rng = np.random.default_rng(0)
+        n, k = 50, 5
+        idx = np.stack([rng.choice(n, size=k, replace=False) for _ in range(n)])
+        vals = rng.random((n, k)).astype(np.float32)
+        idx[3, 4] = -1
+        vals[3, 4] = 0.0
+        dense = np.zeros((n, n), np.float32)
+        for i in range(n):
+            for j in range(k):
+                if idx[i, j] >= 0:
+                    dense[i, idx[i, j]] += vals[i, j]
+        expected = dense + dense.T
+        if mode == "sum_minus_prod":
+            expected -= dense * dense.T
+        vo, io = symmetrize_sparse(jnp.array(vals), jnp.array(idx), mode=mode)
+        got = np.asarray(sparse_to_dense(vo, io, n))
+        assert np.abs(got - expected).max() < 1e-5
+
+    def test_padding_convention(self):
+        vals = jnp.asarray([[0.5], [0.5]])
+        idx = jnp.asarray([[1], [0]])
+        vo, io = symmetrize_sparse(vals, idx, mode="sum")
+        assert bool(((np.asarray(io) == -1) | (np.asarray(vo) != 0)).all())
+
+
+def test_svd_flip_deterministic():
+    X = jax.random.normal(jax.random.PRNGKey(4), (30, 5))
+    U, S, V = jnp.linalg.svd(X, full_matrices=False)
+    U1, V1 = svd_flip(U, V)
+    U2, V2 = svd_flip(-U, -V)
+    assert jnp.abs(U1 - U2).max() < 1e-6
+    assert jnp.abs(V1 - V2).max() < 1e-6

@@ -1,0 +1,38 @@
+"""torchdr_tpu — a TPU-native dimensionality-reduction framework.
+
+From-scratch JAX/XLA/Pallas re-design with the capabilities of TorchDR
+(reference layer map in SURVEY.md §1): neighbor-embedding estimators
+(UMAP, TSNE, SNE, LargeVis, InfoTSNE, TSNEkhorn, PACMAP, COSNE), spectral
+estimators (PCA, IncrementalPCA, KernelPCA, PHATE), an affinity subsystem,
+a from-scratch kNN-graph builder, blockwise streaming reductions, and
+SPMD multi-chip scaling via jax.sharding.
+"""
+
+__version__ = "0.1.0"
+
+from .affinity import (
+    Affinity,
+    EntropicAffinity,
+    LogAffinity,
+    NormalizedGaussianAffinity,
+    NormalizedStudentAffinity,
+    SinkhornAffinity,
+    SparseAffinity,
+    SparseLogAffinity,
+    SymmetricEntropicAffinity,
+)
+from .affinity_matcher import AffinityMatcher
+from .base import DRModule
+from .eval import silhouette_samples, silhouette_score
+from .models import PCA, SNE, TSNE
+from .ops import knn_graph, pairwise_distances, pairwise_distances_indexed
+
+__all__ = [
+    "Affinity", "LogAffinity", "SparseAffinity", "SparseLogAffinity",
+    "EntropicAffinity", "NormalizedGaussianAffinity", "NormalizedStudentAffinity",
+    "SinkhornAffinity", "SymmetricEntropicAffinity",
+    "AffinityMatcher", "DRModule",
+    "silhouette_samples", "silhouette_score",
+    "PCA", "SNE", "TSNE",
+    "knn_graph", "pairwise_distances", "pairwise_distances_indexed",
+]

@@ -1,0 +1,165 @@
+"""Affinity base hierarchy.
+
+TPU-native re-design of the reference hierarchy
+(reference: torchdr/affinity/base.py:30-570):
+
+- :class:`Affinity` — dense ``(n, n)`` affinity in probability domain.
+- :class:`LogAffinity` — dense, computed in log domain.
+- :class:`SparseAffinity` — rectangular padded ``(n, k)`` values + indices.
+- :class:`SparseLogAffinity` — sparse, computed in log domain.
+
+There is no backend parameter: the distance layer is a single XLA/Pallas
+implementation (ops/distance.py). ``zero_diag`` excludes the self-distance
+by masking it to ``MASK_VALUE`` (reference adds 1e12 on the diagonal,
+torchdr/distance/torch.py:110-116).
+"""
+
+from __future__ import annotations
+
+from abc import ABC
+from typing import Optional, Tuple, Union
+
+import jax.numpy as jnp
+
+from ..base import BaseEstimator
+from ..ops.distance import knn_graph, pairwise_distances
+from ..utils.logger import get_logger
+from ..utils.wrappers import to_jax
+
+
+class Affinity(BaseEstimator, ABC):
+    """Base class for dense affinity matrices."""
+
+    def __init__(
+        self,
+        metric: str = "sqeuclidean",
+        zero_diag: bool = True,
+        device: str = "auto",
+        verbose: bool = False,
+        random_state: Optional[int] = None,
+        **kwargs,
+    ):
+        self.metric = metric
+        self.zero_diag = bool(zero_diag)
+        self.device = device if device is not None else "auto"
+        self.verbose = bool(verbose)
+        self.random_state = random_state
+        self.logger = get_logger(type(self).__name__, self.verbose)
+
+    def __call__(self, X, **kwargs):
+        X, _ = to_jax(X)
+        return self._compute_affinity(X, **kwargs)
+
+    def _compute_affinity(self, X: jnp.ndarray, **kwargs):
+        raise NotImplementedError(
+            "[TorchDR-TPU] ERROR : `_compute_affinity` method is not implemented."
+        )
+
+    def _distance_matrix(
+        self, X: jnp.ndarray, k: Optional[int] = None, return_indices: bool = False
+    ):
+        """Pairwise distances; ``(n, k)`` kNN form when ``k`` is given."""
+        if k is not None:
+            C, indices = knn_graph(
+                X, k=k, metric=self.metric, exclude_diag=self.zero_diag
+            )
+            return (C, indices) if return_indices else C
+        C, _ = pairwise_distances(X, metric=self.metric, exclude_diag=self.zero_diag)
+        return (C, None) if return_indices else C
+
+    def clear_memory(self):
+        for name in list(vars(self)):
+            if name.endswith("_") and not name.startswith("_"):
+                delattr(self, name)
+
+
+class LogAffinity(Affinity, ABC):
+    """Affinity computed in log domain; ``__call__(X, log=True)`` returns logs.
+
+    (reference: torchdr/affinity/base.py:197-283)
+    """
+
+    def __call__(self, X, log: bool = False, **kwargs):
+        X, _ = to_jax(X)
+        log_aff = self._compute_log_affinity(X, **kwargs)
+        return log_aff if log else jnp.exp(log_aff)
+
+    def _compute_log_affinity(self, X: jnp.ndarray, **kwargs):
+        raise NotImplementedError(
+            "[TorchDR-TPU] ERROR : `_compute_log_affinity` method is not implemented."
+        )
+
+
+class SparseAffinity(Affinity, ABC):
+    """Affinity with a rectangular padded ``(n, k)`` representation.
+
+    When ``sparsity=False`` behaves densely. The sparse representation is a
+    (values, indices) pair; padding slots hold value 0 / index -1
+    (reference: torchdr/affinity/base.py:286-431).
+    """
+
+    def __init__(
+        self,
+        metric: str = "sqeuclidean",
+        zero_diag: bool = True,
+        device: str = "auto",
+        verbose: bool = False,
+        random_state: Optional[int] = None,
+        sparsity: bool = True,
+        **kwargs,
+    ):
+        super().__init__(
+            metric=metric,
+            zero_diag=zero_diag,
+            device=device,
+            verbose=verbose,
+            random_state=random_state,
+            **kwargs,
+        )
+        self.sparsity = bool(sparsity)
+
+    def __call__(self, X, return_indices: bool = True, **kwargs):
+        X, _ = to_jax(X)
+        result = self._compute_sparse_affinity(X, return_indices=return_indices, **kwargs)
+        return result
+
+    def _compute_sparse_affinity(
+        self, X: jnp.ndarray, return_indices: bool = True, **kwargs
+    ):
+        raise NotImplementedError(
+            "[TorchDR-TPU] ERROR : `_compute_sparse_affinity` is not implemented."
+        )
+
+
+class SparseLogAffinity(SparseAffinity, ABC):
+    """Sparse affinity computed in log domain.
+
+    ``__call__`` returns probabilities by default; ``log=True`` returns the
+    log values (reference: torchdr/affinity/base.py:434-570).
+    """
+
+    def __call__(self, X, return_indices: bool = True, log: bool = False, **kwargs):
+        X, _ = to_jax(X)
+        result = self._compute_sparse_log_affinity(
+            X, return_indices=return_indices, **kwargs
+        )
+        if return_indices:
+            log_aff, indices = result
+            aff = log_aff if log else self._masked_exp(log_aff, indices)
+            return aff, indices
+        log_aff = result
+        return log_aff if log else jnp.exp(log_aff)
+
+    @staticmethod
+    def _masked_exp(log_aff: jnp.ndarray, indices: Optional[jnp.ndarray]):
+        aff = jnp.exp(log_aff)
+        if indices is not None:
+            aff = jnp.where(indices >= 0, aff, 0.0)
+        return aff
+
+    def _compute_sparse_log_affinity(
+        self, X: jnp.ndarray, return_indices: bool = True, **kwargs
+    ):
+        raise NotImplementedError(
+            "[TorchDR-TPU] ERROR : `_compute_sparse_log_affinity` is not implemented."
+        )

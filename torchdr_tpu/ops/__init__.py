@@ -1,0 +1,29 @@
+"""Compute primitives: distances, kNN graph, streaming reductions, root search."""
+
+from .distance import knn_graph, pairwise_distances, pairwise_distances_indexed
+from .metrics import LIST_METRICS, pairwise_block
+from .reduce import pairwise_logkernel_logsumexp, pairwise_logkernel_rowlse
+from .reductions import (
+    center_kernel,
+    cross_entropy_loss,
+    entropy,
+    kmax,
+    kmin,
+    logsumexp_red,
+    matrix_power,
+    square_loss,
+    sum_red,
+    svd_flip,
+)
+from .root_search import binary_search, false_position, init_bounds
+from .sparse import sparse_to_dense, symmetrize_sparse
+
+__all__ = [
+    "knn_graph", "pairwise_distances", "pairwise_distances_indexed",
+    "LIST_METRICS", "pairwise_block",
+    "pairwise_logkernel_logsumexp", "pairwise_logkernel_rowlse",
+    "center_kernel", "cross_entropy_loss", "entropy", "kmax", "kmin",
+    "logsumexp_red", "matrix_power", "square_loss", "sum_red", "svd_flip",
+    "binary_search", "false_position", "init_bounds",
+    "sparse_to_dense", "symmetrize_sparse",
+]

@@ -1,0 +1,141 @@
+"""Pairwise distance and kNN-graph primitives.
+
+TPU-native replacement for the reference's distance dispatch layer
+(reference: torchdr/distance/base.py:22-405) and the Faiss Flat kNN tier
+(reference: torchdr/distance/faiss.py:225-473). Instead of routing between
+torch / KeOps / Faiss backends, a single set of primitives is provided:
+
+- :func:`pairwise_distances` — dense distances, optional top-k selection.
+- :func:`knn_graph` — memory-efficient exact kNN by streaming query blocks
+  (O(block · m) memory) with XLA ``top_k`` selection; the Pallas tier in
+  ``ops/pallas/knn_kernel.py`` plugs in behind the same signature.
+- :func:`pairwise_distances_indexed` — gather-based distances to explicit
+  neighbor / negative indices; the per-iteration hot kernel of every sparse
+  training loop.
+
+Everything is shape-static and jit-safe. Self-exclusion is done by adding
+``MASK_VALUE`` on the diagonal (reference: torchdr/distance/torch.py:110-116).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .metrics import MASK_VALUE, check_metric, indexed_block, pairwise_block
+
+
+def _pad_rows(X: jnp.ndarray, multiple: int) -> Tuple[jnp.ndarray, int]:
+    n = X.shape[0]
+    n_pad = (-n) % multiple
+    if n_pad:
+        X = jnp.concatenate([X, jnp.zeros((n_pad,) + X.shape[1:], X.dtype)], axis=0)
+    return X, n_pad
+
+
+def pairwise_distances(
+    X: jnp.ndarray,
+    Y: Optional[jnp.ndarray] = None,
+    metric: str = "sqeuclidean",
+    k: Optional[int] = None,
+    exclude_diag: bool = False,
+):
+    """Dense pairwise distances, optionally reduced to the k smallest per row.
+
+    Returns ``(C, indices)`` where ``indices`` is None when ``k`` is None.
+    Mirrors the reference dispatch contract (torchdr/distance/base.py:22-249)
+    with a single XLA implementation.
+    """
+    check_metric(metric)
+    self_mode = Y is None
+    Yc = X if self_mode else Y
+    C = pairwise_block(X, Yc, metric)
+    if exclude_diag and self_mode:
+        C = C + MASK_VALUE * jnp.eye(C.shape[0], dtype=C.dtype)
+    if k is None:
+        return C, None
+    neg_topk, indices = lax.top_k(-C, k)
+    return -neg_topk, indices
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "k", "exclude_diag", "block_size"))
+def knn_graph(
+    X: jnp.ndarray,
+    Y: Optional[jnp.ndarray] = None,
+    k: int = 15,
+    metric: str = "sqeuclidean",
+    exclude_diag: bool = True,
+    block_size: int = 1024,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact kNN graph: for each row of X, the k nearest rows of Y (or X).
+
+    Streams query blocks with ``lax.map`` so peak memory is
+    O(block_size · m) instead of O(n · m); each block is one MXU matmul
+    followed by ``lax.top_k``. This is the from-scratch replacement for
+    Faiss IndexFlat (reference: torchdr/distance/faiss.py:225-404) — exact,
+    100% recall by construction, no host round-trip.
+
+    Returns ``(dists, indices)`` of shape ``(n, k)``.
+    """
+    check_metric(metric)
+    self_mode = Y is None
+    Yc = X if self_mode else Y
+    n = X.shape[0]
+    block = min(block_size, max(8, n))
+
+    Xp, n_pad = _pad_rows(X, block)
+    n_blocks = Xp.shape[0] // block
+    row_base = jnp.arange(block)
+
+    def process_block(b):
+        Xb = lax.dynamic_slice_in_dim(Xp, b * block, block, axis=0)
+        C = pairwise_block(Xb, Yc, metric)
+        if exclude_diag and self_mode:
+            rows = b * block + row_base
+            cols = jnp.arange(Yc.shape[0])
+            C = C + MASK_VALUE * (rows[:, None] == cols[None, :]).astype(C.dtype)
+        neg_topk, idx = lax.top_k(-C, k)
+        return -neg_topk, idx
+
+    dists, indices = lax.map(process_block, jnp.arange(n_blocks))
+    dists = dists.reshape(-1, k)[:n]
+    indices = indices.reshape(-1, k)[:n]
+    return dists, indices
+
+
+def pairwise_distances_indexed(
+    X: jnp.ndarray,
+    query_indices: Optional[jnp.ndarray] = None,
+    key_indices: Optional[jnp.ndarray] = None,
+    Y: Optional[jnp.ndarray] = None,
+    metric: str = "sqeuclidean",
+) -> jnp.ndarray:
+    """Distances between indexed subsets of X / Y.
+
+    Shape contract mirrors the reference (torchdr/distance/base.py:252-405):
+
+    - ``key_indices`` 2D ``(n_q, k)``: per-query keys, returns ``(n_q, k)``.
+    - ``key_indices`` 1D: shared keys for all queries.
+    - ``key_indices`` None: all rows of Y (or X) are keys.
+
+    Negative (padding) indices are allowed in 2D mode: they are clamped for
+    the gather and the caller is expected to mask the resulting entries.
+    """
+    if Y is None:
+        Y = X
+    Xq = X if query_indices is None else X[query_indices]
+
+    if key_indices is None:
+        return pairwise_block(Xq, Y, metric)
+    if key_indices.ndim == 1:
+        return pairwise_block(Xq, Y[key_indices], metric)
+    if key_indices.ndim != 2:
+        raise ValueError(f"key_indices must be 1D or 2D, got {key_indices.ndim}D")
+
+    safe_idx = jnp.maximum(key_indices, 0)
+    Yk = jnp.take(Y, safe_idx, axis=0)  # (n_q, k, d)
+    return indexed_block(Xq, Yk, metric)

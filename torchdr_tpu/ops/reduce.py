@@ -1,0 +1,147 @@
+"""Blockwise streaming O(n²) reductions — the KeOps replacement.
+
+The reference streams O(n²) logsumexp/sum reductions through KeOps
+LazyTensors (reference: torchdr/distance/keops.py:17-105,
+torchdr/utils/utils.py:303-410) so the n×n kernel matrix is never
+materialized. On TPU the same role is played by a flash-attention-style
+blockwise pass: query rows are processed in tiles, each tile is one MXU
+matmul (the gram block of the squared-euclidean distance) followed by a
+fused VPU reduction, and only O(block · n) memory is live at once.
+
+The backward pass is a custom VJP that *recomputes* the block kernel and
+accumulates the gradient with two more matmuls per tile — no n×n residuals
+are stored (this is what ``jax.grad`` through a naive ``lax.map`` would do).
+
+Used by: TSNE / SNE repulsion (reference: torchdr/neighbor_embedding/
+tsne.py:172-180, sne.py:172-178), InfoTSNE-style contrastive terms, and any
+dense log-affinity normalization at scale.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.special import logsumexp as _lse
+
+KERNELS = ("student", "gaussian")
+
+
+def _log_kernel(sq_dists: jnp.ndarray, kernel: str) -> jnp.ndarray:
+    if kernel == "student":
+        return -jnp.log1p(sq_dists)
+    if kernel == "gaussian":
+        return -sq_dists
+    raise ValueError(f"[TorchDR-TPU] unknown kernel '{kernel}'")
+
+
+def _dlogk_dsq(sq_dists: jnp.ndarray, kernel: str) -> jnp.ndarray:
+    """d log k / d d² for the supported kernels."""
+    if kernel == "student":
+        return -1.0 / (1.0 + sq_dists)
+    return -jnp.ones_like(sq_dists)
+
+
+def _pad_rows(Z: jnp.ndarray, block: int) -> Tuple[jnp.ndarray, int]:
+    n = Z.shape[0]
+    pad = (-n) % block
+    if pad:
+        Z = jnp.concatenate([Z, jnp.zeros((pad, Z.shape[1]), Z.dtype)], axis=0)
+    return Z, pad
+
+
+def _block_logq(Zb, Z, rows, kernel, exclude_diag):
+    """Log-kernel block (block, n) with diagonal / padding masked to -inf."""
+    zb_norm = jnp.sum(Zb * Zb, axis=-1)
+    z_norm = jnp.sum(Z * Z, axis=-1)
+    gram = jnp.matmul(Zb, Z.T, preferred_element_type=jnp.float32)
+    sq = jnp.maximum(zb_norm[:, None] + z_norm[None, :] - 2.0 * gram, 0.0)
+    logq = _log_kernel(sq, kernel)
+    cols = jnp.arange(Z.shape[0])
+    invalid = rows[:, None] >= Z.shape[0]  # padded query rows
+    if exclude_diag:
+        invalid = invalid | (rows[:, None] == cols[None, :])
+    return jnp.where(invalid, -jnp.inf, logq), sq, invalid
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def pairwise_logkernel_rowlse(
+    Z: jnp.ndarray, kernel: str = "student", exclude_diag: bool = True, block_size: int = 1024
+) -> jnp.ndarray:
+    """Row-wise logsumexp of ``log k(‖z_i - z_j‖²)`` without materializing n×n.
+
+    Returns an array of shape ``(n,)``. Differentiable w.r.t. ``Z`` via a
+    recomputing custom VJP. ``logsumexp(result)`` gives the global log-sum
+    used by TSNE's repulsion; ``sum(result)`` gives SNE's.
+    """
+    return _rowlse_fwd_impl(Z, kernel, exclude_diag, block_size)
+
+
+def _rowlse_fwd_impl(Z, kernel, exclude_diag, block_size):
+    n = Z.shape[0]
+    block = min(block_size, max(8, n))
+    Zp, _ = _pad_rows(Z, block)
+    n_blocks = Zp.shape[0] // block
+    base = jnp.arange(block)
+
+    def fwd_block(b):
+        rows = b * block + base
+        Zb = lax.dynamic_slice_in_dim(Zp, b * block, block, axis=0)
+        logq, _, _ = _block_logq(Zb, Z, rows, kernel, exclude_diag)
+        return _lse(logq, axis=1)
+
+    out = lax.map(fwd_block, jnp.arange(n_blocks)).reshape(-1)[:n]
+    return out
+
+
+def _rowlse_fwd(Z, kernel, exclude_diag, block_size):
+    out = _rowlse_fwd_impl(Z, kernel, exclude_diag, block_size)
+    return out, (Z, out)
+
+
+def _rowlse_bwd(kernel, exclude_diag, block_size, res, g):
+    Z, row_lse = res
+    n, d = Z.shape
+    block = min(block_size, max(8, n))
+    Zp, _ = _pad_rows(Z, block)
+    lse_p, _ = _pad_rows(row_lse[:, None], block)
+    g_p, _ = _pad_rows(g[:, None], block)
+    n_blocks = Zp.shape[0] // block
+    base = jnp.arange(block)
+
+    def bwd_block(dZ, b):
+        rows = b * block + base
+        Zb = lax.dynamic_slice_in_dim(Zp, b * block, block, axis=0)
+        lse_b = lax.dynamic_slice_in_dim(lse_p, b * block, block, axis=0)
+        g_b = lax.dynamic_slice_in_dim(g_p, b * block, block, axis=0)
+        logq, sq, invalid = _block_logq(Zb, Z, rows, kernel, exclude_diag)
+        # softmax weights within each row; c_ij = g_i * w_ij * dlogk/dd²
+        w = jnp.exp(logq - lse_b)
+        c = jnp.where(invalid, 0.0, g_b * w * _dlogk_dsq(sq, kernel))
+        # dd²/dz_i = 2(z_i - z_j); dd²/dz_j = -2(z_i - z_j)
+        row_c = jnp.sum(c, axis=1, keepdims=True)
+        col_c = jnp.sum(c, axis=0)
+        grad_q = 2.0 * (row_c * Zb - jnp.matmul(c, Z, preferred_element_type=jnp.float32))
+        grad_k = 2.0 * (
+            col_c[:, None] * Z
+            - jnp.matmul(c.T, Zb, preferred_element_type=jnp.float32)
+        )
+        dZ = dZ.at[:n].add(grad_k)
+        cur = lax.dynamic_slice_in_dim(dZ, b * block, block, axis=0)
+        dZ = lax.dynamic_update_slice_in_dim(dZ, cur + grad_q, b * block, axis=0)
+        return dZ, None
+
+    dZp = jnp.zeros_like(Zp)
+    dZp, _ = lax.scan(bwd_block, dZp, jnp.arange(n_blocks))
+    return (dZp[:n],)
+
+
+pairwise_logkernel_rowlse.defvjp(_rowlse_fwd, _rowlse_bwd)
+
+
+def pairwise_logkernel_logsumexp(Z, kernel="student", exclude_diag=True, block_size=1024):
+    """Global log Σ_ij k(‖z_i - z_j‖²) — TSNE's exact repulsion term."""
+    return _lse(pairwise_logkernel_rowlse(Z, kernel, exclude_diag, block_size))

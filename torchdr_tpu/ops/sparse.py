@@ -1,0 +1,151 @@
+"""Static-shape sparse (padded CSR-like) utilities.
+
+Sparse affinities are stored as padded ``(n, k)`` value/index pairs —
+padding slots carry index ``-1`` and value ``0`` (same convention as the
+reference's packed output, torchdr/utils/sparse.py:118-140).
+
+The reference symmetrizes with ``torch.unique`` + dynamic-width repacking
+(torchdr/utils/sparse.py:38-206), which is shape-dynamic and host-driven.
+Under XLA everything must be static: we instead sort the fixed-size
+``2nk`` edge list by linearized key, merge adjacent duplicates, and pack
+into a fixed ``(n, 2k)`` padded layout. One sort + a few segment scans —
+fully jit-compatible and TPU-resident.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def symmetric_degrees(indices: jnp.ndarray) -> jnp.ndarray:
+    """Upper bound on per-row nnz of P + Pᵀ: own out-degree + in-degree.
+
+    (Duplicate (i,j)/(j,i) pairs only shrink the true width, so this is a
+    safe static packing bound.)
+    """
+    n, _ = indices.shape
+    valid = indices >= 0
+    out_deg = jnp.sum(valid, axis=1)
+    in_deg = (
+        jnp.zeros((n + 1,), jnp.int32)
+        .at[jnp.where(valid, indices, n)]
+        .add(1)[:n]
+    )
+    return out_deg + in_deg
+
+
+def symmetrize_sparse(
+    values: jnp.ndarray,
+    indices: jnp.ndarray,
+    mode: str = "sum_minus_prod",
+    k_out: int | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetrize a padded sparse matrix P.
+
+    - ``mode="sum"``: Q = P + Pᵀ
+    - ``mode="sum_minus_prod"``: Q = P + Pᵀ - P∘Pᵀ (UMAP fuzzy union)
+
+    The output width is data-dependent (hub points have in-degree ≫ k), so
+    unless ``k_out`` is given we compute the max symmetric degree in a tiny
+    jitted pass and host-read it — one scalar sync per affinity build, the
+    static-shape analog of the reference's dynamic ``max_k_out`` repack
+    (torchdr/utils/sparse.py:118-125). Rows wider than ``k_out`` drop their
+    overflow edges (only possible when a manual cap is passed).
+
+    Parameters
+    ----------
+    values : (n, k) float array; padding slots must hold 0.
+    indices : (n, k) int array; padding slots must hold -1.
+    k_out : optional static output width; rounded up to a multiple of 8
+        for TPU sublane alignment when computed automatically.
+
+    Returns
+    -------
+    (values_out, indices_out) of shape (n, k_out), padded with 0 / -1.
+    """
+    if k_out is None:
+        max_deg = int(jnp.max(symmetric_degrees(indices)))
+        k_out = max(8, -(-max_deg // 8) * 8)
+    return _symmetrize_sparse_impl(values, indices, mode, k_out)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "k_out"))
+def _symmetrize_sparse_impl(
+    values: jnp.ndarray, indices: jnp.ndarray, mode: str, k_out: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    if mode not in ("sum", "sum_minus_prod"):
+        raise ValueError(f"Unsupported mode {mode!r}")
+    n, k = values.shape
+
+    rows = jnp.broadcast_to(jnp.arange(n)[:, None], (n, k)).reshape(-1)
+    cols = indices.reshape(-1)
+    v = values.reshape(-1)
+    valid = cols >= 0
+
+    # Linearized keys for P and Pᵀ edges; invalid edges get a sentinel that
+    # sorts last (n*n) so they never merge with real edges.
+    sentinel = n * n
+    key_P = jnp.where(valid, rows * n + jnp.maximum(cols, 0), sentinel)
+    key_PT = jnp.where(valid, jnp.maximum(cols, 0) * n + rows, sentinel)
+
+    keys = jnp.concatenate([key_P, key_PT])
+    vals = jnp.concatenate([v, v])
+    is_P = jnp.concatenate(
+        [jnp.ones_like(v, dtype=bool), jnp.zeros_like(v, dtype=bool)]
+    )
+
+    order = jnp.argsort(keys)
+    keys = keys[order]
+    vals = vals[order]
+    is_P = is_P[order]
+
+    m = keys.shape[0]  # 2nk, static
+    prev_key = jnp.concatenate([jnp.full((1,), -1, keys.dtype), keys[:-1]])
+    next_key = jnp.concatenate([keys[1:], jnp.full((1,), sentinel + 1, keys.dtype)])
+    is_head = (keys != prev_key) & (keys < sentinel)
+    pair_next = keys == next_key  # kNN rows have unique cols → groups of ≤ 2
+
+    next_vals = jnp.concatenate([vals[1:], jnp.zeros((1,), vals.dtype)])
+    next_is_P = jnp.concatenate([is_P[1:], jnp.zeros((1,), bool)])
+
+    vP = vals * is_P + jnp.where(pair_next, next_vals * next_is_P, 0.0)
+    vPT = vals * (~is_P) + jnp.where(pair_next, next_vals * (~next_is_P), 0.0)
+    if mode == "sum":
+        v_comb = vP + vPT
+    else:
+        v_comb = vP + vPT - vP * vPT
+
+    # Pack heads row-wise. Heads are sorted by (row, col) already.
+    head_rank = jnp.cumsum(is_head.astype(jnp.int32)) - 1  # rank among heads
+    row_of = keys // n
+    # First head rank per row (scatter-min).
+    row_start = jnp.full((n,), m, jnp.int32)
+    row_start = row_start.at[jnp.where(is_head, row_of, n - 1)].min(
+        jnp.where(is_head, head_rank, m)
+    )
+    slot = head_rank - row_start[jnp.clip(row_of, 0, n - 1)]
+
+    flat_pos = jnp.where(
+        is_head & (slot < k_out), row_of * k_out + slot, n * k_out
+    )  # overflow slot n*k_out is a dump cell
+    out_vals = jnp.zeros((n * k_out + 1,), values.dtype).at[flat_pos].set(
+        jnp.where(is_head, v_comb, 0.0)
+    )
+    out_idx = jnp.full((n * k_out + 1,), -1, indices.dtype).at[flat_pos].set(
+        jnp.where(is_head, (keys % n).astype(indices.dtype), -1)
+    )
+    return out_vals[:-1].reshape(n, k_out), out_idx[:-1].reshape(n, k_out)
+
+
+def sparse_to_dense(values: jnp.ndarray, indices: jnp.ndarray, n_cols: int) -> jnp.ndarray:
+    """Densify a padded sparse matrix (tests / small-n paths)."""
+    n, k = values.shape
+    rows = jnp.broadcast_to(jnp.arange(n)[:, None], (n, k))
+    valid = indices >= 0
+    dense = jnp.zeros((n, n_cols), values.dtype)
+    return dense.at[rows, jnp.maximum(indices, 0)].add(jnp.where(valid, values, 0.0))

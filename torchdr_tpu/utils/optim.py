@@ -1,0 +1,142 @@
+"""Functional first-order optimizers with runtime hyperparameters.
+
+The reference drives ``torch.optim`` objects and *re-instantiates* them when
+the early-exaggeration phase ends (reference: torchdr/neighbor_embedding/
+base.py:282-295, affinity_matcher.py:597-657). That pattern is host-side and
+stateful; under XLA the whole optimization must be one compiled loop. So
+optimizers here are pure ``(init, update)`` pairs whose learning rate and
+momentum are *runtime arguments* — phase switches become ``jnp.where`` on
+the iteration counter, and "re-instantiating the optimizer" becomes zeroing
+the carried moment buffers.
+
+Update semantics match torch.optim (SGD: buf = μ·buf + g, step = -lr·buf;
+Adam/AdamW/NAdam with torch default betas) so the reference's tuning
+transfers.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Any  # pytree
+
+
+class OptimizerDef(NamedTuple):
+    name: str
+    init: Any  # params -> state
+    update: Any  # (grad, state, params, lr, hyper: dict) -> (new_params, new_state)
+    reset: Any  # state -> state with moments zeroed (optimizer "re-instantiation")
+
+
+def _tree_zeros(params):
+    return jax.tree_util.tree_map(jnp.zeros_like, params)
+
+
+# --- SGD (torch.optim.SGD semantics) ---
+
+
+def _sgd_init(params):
+    return {"buf": _tree_zeros(params), "step": jnp.zeros((), jnp.int32)}
+
+
+def _sgd_update(grad, state, params, lr, hyper):
+    momentum = hyper.get("momentum", 0.0)
+    first = state["step"] == 0
+
+    def upd(g, b):
+        # torch: buf = g on first step, else mu*buf + g
+        b_new = jnp.where(first, g, momentum * b + g)
+        return b_new
+
+    buf = jax.tree_util.tree_map(upd, grad, state["buf"])
+    new_params = jax.tree_util.tree_map(lambda p, b: p - lr * b, params, buf)
+    return new_params, {"buf": buf, "step": state["step"] + 1}
+
+
+# --- Adam family ---
+
+
+def _adam_init(params):
+    return {
+        "m": _tree_zeros(params),
+        "v": _tree_zeros(params),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def _adam_update_impl(grad, state, params, lr, hyper, weight_decay=0.0, nesterov=False):
+    b1 = hyper.get("beta1", 0.9)
+    b2 = hyper.get("beta2", 0.999)
+    eps = hyper.get("eps", 1e-8)
+    t = state["step"] + 1
+    tf = t.astype(jnp.float32)
+
+    def upd(p, g, m, v):
+        if weight_decay:
+            p = p * (1.0 - lr * weight_decay)  # AdamW decoupled decay
+        m_new = b1 * m + (1 - b1) * g
+        v_new = b2 * v + (1 - b2) * g * g
+        m_hat = m_new / (1 - b1**tf)
+        if nesterov:
+            m_hat = b1 * m_hat + (1 - b1) * g / (1 - b1**tf)
+        v_hat = v_new / (1 - b2**tf)
+        return p - lr * m_hat / (jnp.sqrt(v_hat) + eps), m_new, v_new
+
+    flat_p, treedef = jax.tree_util.tree_flatten(params)
+    flat_g = treedef.flatten_up_to(grad)
+    flat_m = treedef.flatten_up_to(state["m"])
+    flat_v = treedef.flatten_up_to(state["v"])
+    out = [upd(p, g, m, v) for p, g, m, v in zip(flat_p, flat_g, flat_m, flat_v)]
+    new_params = treedef.unflatten([o[0] for o in out])
+    new_m = treedef.unflatten([o[1] for o in out])
+    new_v = treedef.unflatten([o[2] for o in out])
+    return new_params, {"m": new_m, "v": new_v, "step": t}
+
+
+def _make_adam(weight_decay=0.0, nesterov=False):
+    def update(grad, state, params, lr, hyper):
+        wd = hyper.get("weight_decay", weight_decay)
+        return _adam_update_impl(grad, state, params, lr, hyper, wd, nesterov)
+
+    return update
+
+
+def _reset(state):
+    out = dict(state)
+    for key in ("buf", "m", "v"):
+        if key in out:
+            out[key] = _tree_zeros(out[key])
+    out["step"] = jnp.zeros((), jnp.int32)
+    return out
+
+
+_OPTIMIZERS = {
+    "SGD": ( _sgd_init, _sgd_update),
+    "Adam": (_adam_init, _make_adam()),
+    "AdamW": (_adam_init, _make_adam(weight_decay=1e-2)),
+    "NAdam": (_adam_init, _make_adam(nesterov=True)),
+}
+
+
+def make_optimizer(name: str) -> OptimizerDef:
+    if name not in _OPTIMIZERS:
+        raise ValueError(
+            f"[TorchDR-TPU] ERROR: Optimizer '{name}' not supported. "
+            f"Available: {sorted(_OPTIMIZERS)}."
+        )
+    init, update = _OPTIMIZERS[name]
+    return OptimizerDef(name, init, update, _reset)
+
+
+def normalize_optimizer_kwargs(kwargs: Dict | None) -> Dict:
+    """Map torch-style kwarg names onto the runtime hyper dict."""
+    if not kwargs:
+        return {}
+    out = dict(kwargs)
+    if "betas" in out:
+        b1, b2 = out.pop("betas")
+        out["beta1"], out["beta2"] = b1, b2
+    return out
