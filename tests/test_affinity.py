@@ -92,3 +92,55 @@ class TestNormalized:
         aff = NormalizedGaussianAffinity(normalization_dim=None, sigma=2.0)
         P = np.asarray(aff(X))
         assert P.max() <= 1.0 + 1e-6
+
+
+class TestKnnNormalized:
+    def test_umap_affinity_marginal(self, X):
+        from torchdr_tpu.affinity import UMAPAffinity
+
+        k = 15
+        aff = UMAPAffinity(n_neighbors=k, symmetrize=False)
+        P, idx = aff(X, return_indices=True)
+        # before symmetrization: row sums equal log2(k)
+        assert np.abs(np.asarray(P).sum(1) - np.log2(k)).max() < 1e-3
+
+    def test_umap_affinity_symmetrized(self, X):
+        from torchdr_tpu.affinity import UMAPAffinity
+        from torchdr_tpu.ops import sparse_to_dense
+
+        aff = UMAPAffinity(n_neighbors=15)
+        P, idx = aff(X, return_indices=True)
+        dense = np.asarray(sparse_to_dense(P, idx, X.shape[0]))
+        assert np.abs(dense - dense.T).max() < 1e-5
+        assert dense.max() <= 1.0 + 1e-5  # fuzzy union stays in [0, 1]
+
+    def test_self_tuning(self, X):
+        from torchdr_tpu.affinity import SelfTuningAffinity
+
+        P = np.asarray(SelfTuningAffinity(normalization_dim=1)(X))
+        assert np.abs(P.sum(1) - 1.0).max() < 1e-4
+
+    def test_magic(self, X):
+        from torchdr_tpu.affinity import MAGICAffinity
+
+        P = np.asarray(MAGICAffinity()(X))
+        assert np.abs(P.sum(1) - 1.0).max() < 1e-4
+        assert (P >= 0).all()
+
+    def test_phate_affinity(self, X):
+        from torchdr_tpu.affinity import PHATEAffinity
+
+        A = np.asarray(PHATEAffinity(k=5, t=3)(X[:60]))
+        assert A.shape == (60, 60)
+        assert np.isfinite(A).all()
+        assert (A <= 1e-6).all()  # negative potential distances
+        assert np.abs(A - A.T).max() < 1e-3
+
+    def test_pacmap_indices(self, X):
+        from torchdr_tpu.affinity import PACMAPAffinity
+
+        vals, idx = PACMAPAffinity(n_neighbors=8)(X, return_indices=True)
+        assert vals is None
+        assert idx.shape == (X.shape[0], 8)
+        # no self index
+        assert not (np.asarray(idx) == np.arange(X.shape[0])[:, None]).any()

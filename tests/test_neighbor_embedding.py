@@ -78,3 +78,32 @@ class TestValidation:
         X, y = toy_moons
         with pytest.raises(ValueError, match="Optimizer"):
             tdr.TSNE(perplexity=10, optimizer="Bogus", max_iter=5).fit_transform(X)
+
+
+class TestUMAP:
+    def test_quality(self, toy_moons):
+        X, y = toy_moons
+        _check_quality(tdr.UMAP(n_neighbors=15, max_iter=300, random_state=0), X, y)
+
+    def test_discard_nns(self, toy_moons):
+        X, y = toy_moons
+        Z = tdr.UMAP(
+            n_neighbors=10, max_iter=50, discard_NNs=True, random_state=0
+        ).fit_transform(X)
+        assert np.isfinite(np.asarray(Z)).all()
+
+
+class TestLargeVis:
+    def test_quality(self, toy_moons):
+        X, y = toy_moons
+        _check_quality(tdr.LargeVis(perplexity=15, max_iter=500, random_state=0), X, y)
+
+
+class TestInfoTSNE:
+    def test_quality(self, toy_moons):
+        X, y = toy_moons
+        _check_quality(
+            tdr.InfoTSNE(perplexity=15, n_negatives=50, max_iter=500, random_state=0),
+            X,
+            y,
+        )

@@ -20,11 +20,16 @@ from .affinity import (
     SparseAffinity,
     SparseLogAffinity,
     SymmetricEntropicAffinity,
+    MAGICAffinity,
+    PACMAPAffinity,
+    PHATEAffinity,
+    SelfTuningAffinity,
+    UMAPAffinity,
 )
 from .affinity_matcher import AffinityMatcher
 from .base import DRModule
 from .eval import silhouette_samples, silhouette_score
-from .models import PCA, SNE, TSNE
+from .models import PCA, SNE, TSNE, UMAP, InfoTSNE, LargeVis
 from .ops import knn_graph, pairwise_distances, pairwise_distances_indexed
 
 __all__ = [
@@ -33,6 +38,7 @@ __all__ = [
     "SinkhornAffinity", "SymmetricEntropicAffinity",
     "AffinityMatcher", "DRModule",
     "silhouette_samples", "silhouette_score",
-    "PCA", "SNE", "TSNE",
+    "PCA", "SNE", "TSNE", "UMAP", "LargeVis", "InfoTSNE",
+    "MAGICAffinity", "PACMAPAffinity", "PHATEAffinity", "SelfTuningAffinity", "UMAPAffinity",
     "knn_graph", "pairwise_distances", "pairwise_distances_indexed",
 ]

@@ -1,6 +1,13 @@
 """Affinity subsystem."""
 
 from .base import Affinity, LogAffinity, SparseAffinity, SparseLogAffinity
+from .knn_normalized import (
+    MAGICAffinity,
+    PACMAPAffinity,
+    PHATEAffinity,
+    SelfTuningAffinity,
+    UMAPAffinity,
+)
 from .entropic import (
     EntropicAffinity,
     NormalizedGaussianAffinity,
@@ -13,4 +20,5 @@ __all__ = [
     "Affinity", "LogAffinity", "SparseAffinity", "SparseLogAffinity",
     "EntropicAffinity", "NormalizedGaussianAffinity", "NormalizedStudentAffinity",
     "SinkhornAffinity", "SymmetricEntropicAffinity",
+    "MAGICAffinity", "PACMAPAffinity", "PHATEAffinity", "SelfTuningAffinity", "UMAPAffinity",
 ]

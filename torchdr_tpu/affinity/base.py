@@ -50,6 +50,13 @@ class Affinity(BaseEstimator, ABC):
         X, _ = to_jax(X)
         return self._compute_affinity(X, **kwargs)
 
+    def _store(self, name: str, value) -> None:
+        """Store a fitted attribute unless tracing (inside jit)."""
+        import jax
+
+        if not isinstance(value, jax.core.Tracer):
+            setattr(self, name, value)
+
     def _compute_affinity(self, X: jnp.ndarray, **kwargs):
         raise NotImplementedError(
             "[TorchDR-TPU] ERROR : `_compute_affinity` method is not implemented."

@@ -1,2 +1,4 @@
 from .base import NegativeSamplingNeighborEmbedding, NeighborEmbedding
+from .largevis import InfoTSNE, LargeVis
 from .tsne import SNE, TSNE
+from .umap import UMAP

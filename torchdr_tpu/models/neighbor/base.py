@@ -164,12 +164,19 @@ class NegativeSamplingNeighborEmbedding(NeighborEmbedding):
                 )
                 exclude = self_idx
             else:
-                exclude = jnp.concatenate([self_idx, self.NN_indices_], axis=1)
+                # NN rows may carry -1 padding (post-symmetrization); replace
+                # pads with distinct out-of-range sentinels so they sort last
+                # and never shift a draw.
+                nn = self.NN_indices_
+                sentinel = n + jnp.arange(nn.shape[1])[None, :]
+                nn = jnp.where(nn >= 0, nn, sentinel)
+                exclude = jnp.concatenate([self_idx, nn], axis=1)
         else:
             exclude = self_idx
         self.neg_exclusion_ = jnp.sort(exclude, axis=1)
+        self.neg_valid_counts_ = jnp.sum(self.neg_exclusion_ < n, axis=1)
 
-        n_possible = n - self.neg_exclusion_.shape[1]
+        n_possible = n - int(jnp.max(self.neg_valid_counts_))
         if self.n_negatives > n_possible:
             raise ValueError(
                 f"[TorchDR-TPU] ERROR : requested {self.n_negatives} negatives but "
@@ -179,27 +186,26 @@ class NegativeSamplingNeighborEmbedding(NeighborEmbedding):
     def _build_consts(self, X):
         consts = super()._build_consts(X)
         consts["neg_exclusion"] = self.neg_exclusion_
+        consts["neg_valid_counts"] = self.neg_valid_counts_
         return consts
 
     def _sample_negatives(self, key, consts) -> jnp.ndarray:
         """Draw (n, n_negatives) indices uniform over non-excluded columns.
 
         Inside-jit equivalent of the reference's per-step buffer refresh
-        (torchdr/neighbor_embedding/base.py:617-649).
+        (torchdr/neighbor_embedding/base.py:617-649): draw uniform over the
+        per-row count of allowed columns, then shift past the sorted
+        exclusions (rows may have different exclusion counts after padded
+        symmetrization, hence the per-row range).
         """
         exclusion = consts["neg_exclusion"]
+        counts = consts["neg_valid_counts"]
         n = consts["n"]
-        n_excl = exclusion.shape[1]
-        draws = jax.random.randint(
-            key, (exclusion.shape[0], self.n_negatives), 0, n - n_excl
-        )
-        if n_excl == 1:
-            self_idx = exclusion
-            return draws + (draws >= self_idx).astype(draws.dtype)
+        u = jax.random.uniform(key, (exclusion.shape[0], self.n_negatives))
+        draws = jnp.floor(u * (n - counts)[:, None]).astype(jnp.int32)
+        if exclusion.shape[1] == 1:
+            return draws + (draws >= exclusion).astype(draws.dtype)
         shifts = jax.vmap(
             lambda ex, d: jnp.searchsorted(ex, d, side="right")
         )(exclusion, draws)
-        # searchsorted shift must be applied iteratively when exclusions are
-        # dense, but for sorted exclusion tables a single shift pass matches
-        # the reference's behavior (torchdr shifts once as well).
         return draws + shifts.astype(draws.dtype)

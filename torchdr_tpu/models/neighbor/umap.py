@@ -1,0 +1,172 @@
+"""UMAP.
+
+TPU-native UMAP (reference: torchdr/neighbor_embedding/umap.py:39-292).
+Closed-form gradients; the per-edge ``epochs_per_sample`` update schedule —
+a mutated buffer in the reference (umap.py:251-256) — is carried loop state
+inside the single compiled ``lax.while_loop``, and negative sampling draws
+from the threaded PRNG key. Attraction + repulsion together are a handful
+of gathers and fused VPU ops per step; no host round-trips anywhere in the
+fit.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...affinity.knn_normalized import UMAPAffinity
+from ...ops.distance import pairwise_distances_indexed
+from .base import NegativeSamplingNeighborEmbedding
+
+
+def find_ab_params(spread: float, min_dist: float):
+    """Fit (a, b) of the output kernel 1/(1 + a d^{2b}) to the offset
+    exponential, as in the UMAP reference implementation
+    (reference: torchdr/neighbor_embedding/umap.py:19-36).
+    """
+    from scipy.optimize import curve_fit
+
+    def curve(x, a, b):
+        return 1.0 / (1.0 + a * x ** (2 * b))
+
+    xv = np.linspace(0, spread * 3, 300)
+    yv = np.zeros(xv.shape)
+    yv[xv < min_dist] = 1.0
+    yv[xv >= min_dist] = np.exp(-(xv[xv >= min_dist] - min_dist) / spread)
+    params, _ = curve_fit(curve, xv, yv)
+    return float(params[0]), float(params[1])
+
+
+class UMAP(NegativeSamplingNeighborEmbedding):
+    """UMAP (McInnes et al. 2018; Damrich & Hamprecht 2021 formulation).
+
+    Loss: -Σ_ij P_ij log Q_ij + Σ_{i, j ∈ Neg(i)} log(1 - Q_ij) with
+    Q_ij = (1 + a d²ᵇ)⁻¹, optimized with closed-form gradients and the
+    per-edge epochs_per_sample schedule.
+    """
+
+    _use_closed_form_gradients = True
+
+    def __init__(
+        self,
+        n_neighbors: float = 30,
+        n_components: int = 2,
+        min_dist: float = 0.1,
+        spread: float = 1.0,
+        a: Optional[float] = None,
+        b: Optional[float] = None,
+        lr: float = 1e0,
+        optimizer: str = "SGD",
+        optimizer_kwargs: Union[Dict, str, None] = None,
+        scheduler: Optional[str] = "LinearLR",
+        scheduler_kwargs: Union[Dict, str, None] = "auto",
+        init: str = "pca",
+        init_scaling: float = 1e-4,
+        min_grad_norm: float = 1e-7,
+        max_iter: int = 1000,
+        device: str = "auto",
+        verbose: bool = False,
+        random_state: Optional[int] = None,
+        max_iter_affinity: int = 100,
+        metric: str = "sqeuclidean",
+        negative_sample_rate: int = 5,
+        check_interval: int = 50,
+        discard_NNs: bool = False,
+        **kwargs,
+    ):
+        self.n_neighbors = n_neighbors
+        self.min_dist = min_dist
+        self.spread = spread
+        self.metric = metric
+        self.max_iter_affinity = max_iter_affinity
+        self.negative_sample_rate = negative_sample_rate
+        self._eps = 1e-3
+
+        if a is None or b is None:
+            a, b = find_ab_params(spread, min_dist)
+        self._a = a
+        self._b = b
+
+        affinity_in = UMAPAffinity(
+            n_neighbors=n_neighbors,
+            metric=metric,
+            max_iter=max_iter_affinity,
+            device=device,
+            verbose=verbose,
+            sparsity=True,
+        )
+        super().__init__(
+            affinity_in=affinity_in,
+            n_components=n_components,
+            optimizer=optimizer,
+            optimizer_kwargs=optimizer_kwargs,
+            min_grad_norm=min_grad_norm,
+            max_iter=max_iter,
+            lr=lr,
+            scheduler=scheduler,
+            scheduler_kwargs=scheduler_kwargs,
+            init=init,
+            init_scaling=init_scaling,
+            device=device,
+            verbose=verbose,
+            random_state=random_state,
+            check_interval=check_interval,
+            discard_NNs=discard_NNs,
+            n_negatives=int(negative_sample_rate * n_neighbors),
+            **kwargs,
+        )
+
+    # --- epochs_per_sample schedule (reference: umap.py:215-234) ---
+
+    def _build_consts(self, X):
+        consts = super()._build_consts(X)
+        P = self.affinity_in_
+        A_max = jnp.max(P)
+        threshold = A_max / self.max_iter
+        small = P <= threshold  # also covers the -1 padding slots (P == 0)
+        eps_per_sample = jnp.where(small, jnp.inf, A_max / (P + 1e-3))
+        consts["epochs_per_sample"] = eps_per_sample
+        return consts
+
+    def _init_carry(self, consts):
+        carry = super()._init_carry(consts)
+        carry["epoch_of_next_sample"] = consts["epochs_per_sample"]
+        # Attraction computes the active-edge mask; repulsion consumes it.
+        carry["active_edges"] = jnp.zeros(consts["epochs_per_sample"].shape, bool)
+        return carry
+
+    # --- closed-form gradients (reference: umap.py:236-292) ---
+
+    def _attractive_gradients(self, Z, consts, carry, it, key):
+        NN = consts["NN"]
+        D = pairwise_distances_indexed(Z, key_indices=NN, metric="sqeuclidean")
+        positive = D > 0
+        coef = 2.0 * self._a * self._b * D ** (self._b - 1.0) / (1.0 + self._a * D**self._b)
+        coef = jnp.where(positive, coef, 0.0)
+
+        # Per-edge update schedule: stronger edges fire more often.
+        eons = carry["epoch_of_next_sample"]
+        mask = eons <= jnp.asarray(it + 1, eons.dtype)
+        eons = jnp.where(mask, eons + consts["epochs_per_sample"], eons)
+        coef = jnp.where(mask, coef, 0.0)
+
+        diff = Z[:, None, :] - Z[jnp.maximum(NN, 0)]
+        grad = jnp.clip(jnp.einsum("ijk,ij->ik", diff, coef), -4.0, 4.0)
+        carry = dict(carry, epoch_of_next_sample=eons, active_edges=mask)
+        return grad, carry
+
+    def _repulsive_gradients(self, Z, consts, carry, it, key):
+        neg = self._sample_negatives(key, consts)
+        D = pairwise_distances_indexed(Z, key_indices=neg, metric="sqeuclidean")
+        coef = -2.0 * self._b / ((D + self._eps) * (1.0 + self._a * D**self._b))
+
+        # Keep negative_sample_rate negative edges per active positive edge.
+        neg_counts = jnp.sum(carry["active_edges"], axis=1) * self.negative_sample_rate
+        col = jnp.arange(self.n_negatives)
+        coef = jnp.where(col[None, :] >= neg_counts[:, None], 0.0, coef)
+
+        diff = Z[:, None, :] - Z[neg]
+        grad = jnp.clip(jnp.einsum("ijk,ij->ik", diff, coef), -4.0, 4.0)
+        return grad, carry
