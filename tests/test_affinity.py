@@ -144,3 +144,14 @@ class TestKnnNormalized:
         assert idx.shape == (X.shape[0], 8)
         # no self index
         assert not (np.asarray(idx) == np.arange(X.shape[0])[:, None]).any()
+
+
+class TestQuadratic:
+    def test_doubly_stochastic(self, X):
+        from torchdr_tpu.affinity import DoublyStochasticQuadraticAffinity
+
+        aff = DoublyStochasticQuadraticAffinity(eps=1.0, lr=1e-1, max_iter=2000)
+        P = np.asarray(aff(X[:60])) * 60
+        assert np.abs(P - P.T).max() < 1e-5
+        assert np.abs(P.sum(1) - 1.0).max() < 5e-2
+        assert (P >= 0).all()

@@ -107,3 +107,41 @@ class TestInfoTSNE:
             X,
             y,
         )
+
+
+class TestTSNEkhorn:
+    def test_quality(self, toy_moons):
+        X, y = toy_moons
+        _check_quality(
+            tdr.TSNEkhorn(perplexity=15, max_iter=300, lr=1e-1, random_state=0), X, y
+        )
+
+    def test_unrolling(self, toy_moons):
+        X, y = toy_moons
+        Z = tdr.TSNEkhorn(
+            perplexity=15, max_iter=50, lr=1e-1, unrolling=True, random_state=0
+        ).fit_transform(X)
+        assert np.isfinite(np.asarray(Z)).all()
+
+    def test_entropic_affinity_variant(self, toy_moons):
+        X, y = toy_moons
+        Z = tdr.TSNEkhorn(
+            perplexity=15, max_iter=50, lr=1e-1, symmetric_affinity=False, random_state=0
+        ).fit_transform(X)
+        assert np.isfinite(np.asarray(Z)).all()
+
+
+class TestPACMAP:
+    def test_quality(self, toy_moons):
+        X, y = toy_moons
+        _check_quality(tdr.PACMAP(n_neighbors=10, max_iter=450, random_state=0), X, y)
+
+
+class TestCOSNE:
+    def test_quality_and_ball(self, toy_moons):
+        X, y = toy_moons
+        Z = tdr.COSNE(perplexity=15, max_iter=500, lr=1e0, random_state=0).fit_transform(X)
+        assert np.isfinite(np.asarray(Z)).all()
+        # embedding must stay inside the Poincaré ball
+        assert np.linalg.norm(np.asarray(Z), axis=1).max() < 1.0
+        assert tdr.silhouette_score(Z, y) > SIL_FLOOR

@@ -35,3 +35,49 @@ class TestPCA:
         Z1 = tdr.PCA(n_components=2).fit_transform(X)
         Z2 = tdr.PCA(n_components=2).fit_transform(X)
         assert np.allclose(Z1, Z2)
+
+
+class TestKernelPCA:
+    def test_shapes_and_quality(self):
+        from sklearn.datasets import make_moons
+
+        X, y = make_moons(n_samples=100, noise=0.05, random_state=0)
+        X = X.astype(np.float32)
+        Z = tdr.KernelPCA(n_components=2).fit_transform(X)
+        assert np.asarray(Z).shape == (100, 2)
+        assert np.isfinite(np.asarray(Z)).all()
+
+    def test_matches_sklearn_gaussian(self):
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(80, 5)).astype(np.float32)
+        from sklearn.decomposition import KernelPCA as SkKPCA
+
+        from torchdr_tpu.affinity import NormalizedGaussianAffinity
+
+        Z = tdr.KernelPCA(
+            affinity=NormalizedGaussianAffinity(
+                sigma=2.0, normalization_dim=None, zero_diag=False
+            ),
+            n_components=3,
+        ).fit_transform(X)
+        Zs = SkKPCA(kernel="rbf", gamma=0.5, n_components=3).fit_transform(X)
+        assert np.abs(np.abs(np.asarray(Z)) - np.abs(Zs)).max() < 1e-2
+
+    def test_lobpcg_matches_eigh(self):
+        rng = np.random.default_rng(1)
+        X = rng.normal(size=(120, 8)).astype(np.float32)
+        Z1 = np.abs(np.asarray(tdr.KernelPCA(n_components=2, solver="eigh").fit_transform(X)))
+        Z2 = np.abs(np.asarray(tdr.KernelPCA(n_components=2, solver="lobpcg", random_state=0).fit_transform(X)))
+        assert np.abs(Z1 - Z2).max() < 1e-2
+
+
+class TestPHATE:
+    def test_quality(self):
+        from sklearn.datasets import make_moons
+
+        X, y = make_moons(n_samples=100, noise=0.05, random_state=0)
+        X = X.astype(np.float32)
+        Z = tdr.PHATE(k=5, t=50, max_iter=300, random_state=0).fit_transform(X)
+        from torchdr_tpu import silhouette_score
+
+        assert silhouette_score(Z, y) > 0.15

@@ -25,11 +25,24 @@ from .affinity import (
     PHATEAffinity,
     SelfTuningAffinity,
     UMAPAffinity,
+    DoublyStochasticQuadraticAffinity,
 )
 from .affinity_matcher import AffinityMatcher
 from .base import DRModule
 from .eval import silhouette_samples, silhouette_score
-from .models import PCA, SNE, TSNE, UMAP, InfoTSNE, LargeVis
+from .models import (
+    COSNE,
+    PACMAP,
+    PCA,
+    PHATE,
+    SNE,
+    TSNE,
+    InfoTSNE,
+    KernelPCA,
+    LargeVis,
+    TSNEkhorn,
+    UMAP,
+)
 from .ops import knn_graph, pairwise_distances, pairwise_distances_indexed
 
 __all__ = [
@@ -38,7 +51,8 @@ __all__ = [
     "SinkhornAffinity", "SymmetricEntropicAffinity",
     "AffinityMatcher", "DRModule",
     "silhouette_samples", "silhouette_score",
-    "PCA", "SNE", "TSNE", "UMAP", "LargeVis", "InfoTSNE",
+    "PCA", "SNE", "TSNE", "UMAP", "LargeVis", "InfoTSNE", "TSNEkhorn", "PACMAP", "COSNE", "KernelPCA", "PHATE",
+    "DoublyStochasticQuadraticAffinity",
     "MAGICAffinity", "PACMAPAffinity", "PHATEAffinity", "SelfTuningAffinity", "UMAPAffinity",
     "knn_graph", "pairwise_distances", "pairwise_distances_indexed",
 ]

@@ -8,6 +8,7 @@ from .knn_normalized import (
     SelfTuningAffinity,
     UMAPAffinity,
 )
+from .quadratic import DoublyStochasticQuadraticAffinity
 from .entropic import (
     EntropicAffinity,
     NormalizedGaussianAffinity,
@@ -20,5 +21,5 @@ __all__ = [
     "Affinity", "LogAffinity", "SparseAffinity", "SparseLogAffinity",
     "EntropicAffinity", "NormalizedGaussianAffinity", "NormalizedStudentAffinity",
     "SinkhornAffinity", "SymmetricEntropicAffinity",
-    "MAGICAffinity", "PACMAPAffinity", "PHATEAffinity", "SelfTuningAffinity", "UMAPAffinity",
+    "MAGICAffinity", "PACMAPAffinity", "PHATEAffinity", "SelfTuningAffinity", "UMAPAffinity", "DoublyStochasticQuadraticAffinity",
 ]

@@ -1,0 +1,117 @@
+"""CO-SNE: hyperbolic SNE on the Poincaré ball.
+
+TPU-native COSNE (reference: torchdr/neighbor_embedding/cosne.py:16-193).
+Cauchy kernel in hyperbolic space, norm-preservation term, optimized with
+the functional RiemannianAdam (expmap retraction + momentum transport)
+inside the compiled loop. The O(n²) hyperbolic repulsion is a dense pass
+(hyperbolic distances are norm-dominated; n for COSNE use-cases is modest).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Union
+
+import jax.numpy as jnp
+from jax.scipy.special import logsumexp
+
+from ...affinity.entropic import EntropicAffinity
+from ...ops.distance import pairwise_distances, pairwise_distances_indexed
+from ...ops.reductions import cross_entropy_loss
+from .base import NeighborEmbedding
+
+
+class COSNE(NeighborEmbedding):
+    """CO-SNE (Guo et al. 2022).
+
+    Uses an entropic input affinity and the hyperbolic Cauchy output kernel
+    Q_ij = γ / (d_H² + γ²), plus a distance-to-origin preservation term
+    weighted by ``learning_rate_for_h_loss``.
+    """
+
+    def __init__(
+        self,
+        perplexity: float = 30,
+        learning_rate_for_h_loss: float = 1,
+        gamma: float = 2,
+        n_components: int = 2,
+        lr: Union[float, str] = "auto",
+        optimizer_kwargs: Union[Dict, str, None] = None,
+        scheduler: Optional[str] = None,
+        scheduler_kwargs: Optional[Dict] = None,
+        init: str = "hyperbolic",
+        init_scaling: float = 0.5,
+        min_grad_norm: float = 1e-7,
+        max_iter: int = 2000,
+        device: str = "auto",
+        verbose: bool = False,
+        random_state: Optional[int] = None,
+        max_iter_affinity: int = 100,
+        metric: str = "sqeuclidean",
+        sparsity: bool = True,
+        check_interval: int = 50,
+        **kwargs,
+    ):
+        self.perplexity = perplexity
+        self.learning_rate_for_h_loss = learning_rate_for_h_loss
+        self.gamma = gamma
+        self.metric = metric
+        self.max_iter_affinity = max_iter_affinity
+        self.sparsity = sparsity
+
+        affinity_in = EntropicAffinity(
+            perplexity=perplexity,
+            metric=metric,
+            max_iter=max_iter_affinity,
+            device=device,
+            verbose=verbose,
+            sparsity=sparsity,
+        )
+        super().__init__(
+            affinity_in=affinity_in,
+            affinity_out=None,
+            n_components=n_components,
+            optimizer="RiemannianAdam",
+            optimizer_kwargs=optimizer_kwargs,
+            min_grad_norm=min_grad_norm,
+            max_iter=max_iter,
+            lr=lr,
+            scheduler=scheduler,
+            scheduler_kwargs=scheduler_kwargs,
+            init=init,
+            init_scaling=init_scaling,
+            device=device,
+            verbose=verbose,
+            random_state=random_state,
+            check_interval=check_interval,
+            **kwargs,
+        )
+
+    def _lr_plan(self):
+        # 'auto' lr for RiemannianAdam: the sklearn SGD rule would explode an
+        # Adam-style step; use the reference's warned fallback of 1.0
+        # (reference: torchdr/affinity_matcher.py:585-595).
+        if self.lr == "auto":
+            return 1.0, 1.0
+        return float(self.lr), float(self.lr)
+
+    def _build_consts(self, X):
+        consts = super()._build_consts(X)
+        # input-norm preservation targets (reference: cosne.py:163-165)
+        consts["X_norm"] = jnp.sum(X * X, axis=-1)
+        return consts
+
+    def _attractive_loss(self, Z, consts, carry, it, key):
+        D = pairwise_distances_indexed(Z, key_indices=consts["NN"], metric="sqhyperbolic")
+        log_Q = jnp.log(self.gamma / (D + self.gamma**2))
+        return cross_entropy_loss(consts["P"], log_Q, log=True), carry
+
+    def _repulsive_loss(self, Z, consts, carry, it, key):
+        D, _ = pairwise_distances(Z, metric="sqhyperbolic", exclude_diag=True)
+        log_Q = jnp.log(self.gamma / (D + self.gamma**2))
+        rep = logsumexp(log_Q)
+        # hyperbolic distance-to-origin should match the input sq-norm
+        Y_norm = jnp.sum(Z * Z, axis=-1)
+        # same f32 arccosh-at-1 clamp as ops/metrics.py
+        Y_norm = jnp.arccosh(jnp.maximum(1 + 2 * (Y_norm / (1 - Y_norm)), 1 + 1e-7)) ** 2
+        distance_term = jnp.mean((consts["X_norm"] - Y_norm) ** 2)
+        return rep + self.learning_rate_for_h_loss * distance_term, carry

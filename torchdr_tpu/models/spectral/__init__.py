@@ -1,1 +1,3 @@
+from .kernel_pca import KernelPCA
 from .pca import PCA
+from .phate import PHATE

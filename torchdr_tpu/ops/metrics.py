@@ -63,9 +63,12 @@ def pairwise_block(X: jnp.ndarray, Y: jnp.ndarray, metric: str = "sqeuclidean") 
         return sq
     if metric == "euclidean":
         return jnp.sqrt(sq)
-    # sqhyperbolic (Poincaré ball)
+    # sqhyperbolic (Poincaré ball). The arccosh argument is clamped at a
+    # f32-representable margin above 1: the reference's +1e-8 rounds away in
+    # f32 and arccosh'(1)=∞ NaNs the gradient of zero-distance pairs; the
+    # max() both keeps the value finite and zeroes the diagonal gradient.
     denom = (1.0 - x_norm)[:, None] * (1.0 - y_norm)[None, :]
-    return jnp.arccosh(1.0 + 2.0 * (sq / denom) + 1e-8) ** 2
+    return jnp.arccosh(jnp.maximum(1.0 + 2.0 * (sq / denom), 1.0 + 1e-7)) ** 2
 
 
 def indexed_block(Xq: jnp.ndarray, Yk: jnp.ndarray, metric: str = "sqeuclidean") -> jnp.ndarray:
@@ -89,4 +92,9 @@ def indexed_block(Xq: jnp.ndarray, Yk: jnp.ndarray, metric: str = "sqeuclidean")
     x_norm = jnp.sum(Xq * Xq, axis=-1)[:, None]
     y_norm = jnp.sum(Yk * Yk, axis=-1)
     denom = (1.0 - x_norm) * (1.0 - y_norm)
-    return jnp.arccosh(1.0 + 2.0 * (jnp.maximum(sq, 0.0) / denom) + 1e-8) ** 2
+    return (
+        jnp.arccosh(
+            jnp.maximum(1.0 + 2.0 * (jnp.maximum(sq, 0.0) / denom), 1.0 + 1e-7)
+        )
+        ** 2
+    )

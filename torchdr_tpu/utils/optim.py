@@ -113,11 +113,52 @@ def _reset(state):
     return out
 
 
+# --- Riemannian Adam on the Poincaré ball (reference: torchdr/utils/
+# radam.py:87-170, geoopt-style). Operates on a single (n, d) point array. ---
+
+
+def _radam_init(params):
+    return {
+        "m": jnp.zeros_like(params),
+        "v": jnp.zeros_like(params[..., :1]),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def _radam_update(grad, state, point, lr, hyper):
+    from .manifold import (
+        egrad2rgrad,
+        poincare_expmap,
+        poincare_inner,
+        poincare_project,
+        poincare_ptransp,
+    )
+
+    b1 = hyper.get("beta1", 0.9)
+    b2 = hyper.get("beta2", 0.999)
+    eps = hyper.get("eps", 1e-8)
+    wd = hyper.get("weight_decay", 0.0)
+    t = state["step"] + 1
+    tf = t.astype(jnp.float32)
+
+    g = grad + wd * point
+    rgrad = egrad2rgrad(point, g)
+    m = b1 * state["m"] + (1 - b1) * rgrad
+    v = b2 * state["v"] + (1 - b2) * poincare_inner(point, rgrad)
+    denom = jnp.sqrt(v) + eps
+    step_size = lr * jnp.sqrt(1 - b2**tf) / (1 - b1**tf)
+    direction = m / denom
+    new_point = poincare_project(poincare_expmap(-step_size * direction, point))
+    m = poincare_ptransp(point, new_point, m)
+    return new_point, {"m": m, "v": v, "step": t}
+
+
 _OPTIMIZERS = {
     "SGD": ( _sgd_init, _sgd_update),
     "Adam": (_adam_init, _make_adam()),
     "AdamW": (_adam_init, _make_adam(weight_decay=1e-2)),
     "NAdam": (_adam_init, _make_adam(nesterov=True)),
+    "RiemannianAdam": (_radam_init, _radam_update),
 }
 
 
