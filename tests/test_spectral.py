@@ -81,3 +81,45 @@ class TestPHATE:
         from torchdr_tpu import silhouette_score
 
         assert silhouette_score(Z, y) > 0.15
+
+
+class TestIncrementalPCA:
+    def test_matches_sklearn(self):
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(300, 12)).astype(np.float32)
+        from sklearn.decomposition import IncrementalPCA as SkIPCA
+
+        Z = tdr.IncrementalPCA(n_components=4, batch_size=64).fit_transform(X)
+        Zs = SkIPCA(n_components=4, batch_size=64).fit_transform(X)
+        assert np.abs(np.abs(np.asarray(Z)) - np.abs(Zs)).max() < 1e-2
+
+    def test_partial_fit_streaming(self):
+        rng = np.random.default_rng(1)
+        X = rng.normal(size=(200, 8)).astype(np.float32)
+        ipca = tdr.IncrementalPCA(n_components=3)
+        for i in range(0, 200, 50):
+            ipca.partial_fit(X[i : i + 50])
+        Z = ipca.transform(X)
+        assert np.asarray(Z).shape == (200, 3)
+
+    def test_batch_iterable_input(self):
+        rng = np.random.default_rng(2)
+        batches = [rng.normal(size=(40, 6)).astype(np.float32) for _ in range(5)]
+        Z = tdr.IncrementalPCA(n_components=2).fit_transform(iter(batches))
+        assert np.asarray(Z).shape == (200, 2)
+
+
+class TestExactIncrementalPCA:
+    def test_matches_full_pca(self):
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(300, 12)).astype(np.float32)
+        Z1 = np.abs(np.asarray(tdr.ExactIncrementalPCA(n_components=4, batch_size=64).fit_transform(X)))
+        Z2 = np.abs(np.asarray(tdr.PCA(n_components=4).fit_transform(X)))
+        assert np.abs(Z1 - Z2).max() < 1e-2
+
+    def test_explained_variance(self):
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(500, 6)).astype(np.float32) * np.array([5, 3, 1, 1, 1, 1], np.float32)
+        m = tdr.ExactIncrementalPCA(n_components=2, batch_size=100)
+        m.fit(X)
+        assert m.explained_variance_[0] > m.explained_variance_[1]

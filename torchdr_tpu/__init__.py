@@ -29,8 +29,18 @@ from .affinity import (
 )
 from .affinity_matcher import AffinityMatcher
 from .base import DRModule
-from .eval import silhouette_samples, silhouette_score
+from .eval import (
+    adjusted_rand_index,
+    kmeans_ari,
+    knn_label_accuracy,
+    knn_recall,
+    neighborhood_preservation,
+    silhouette_samples,
+    silhouette_score,
+)
 from .models import (
+    ExactIncrementalPCA,
+    IncrementalPCA,
     COSNE,
     PACMAP,
     PCA,
@@ -50,8 +60,9 @@ __all__ = [
     "EntropicAffinity", "NormalizedGaussianAffinity", "NormalizedStudentAffinity",
     "SinkhornAffinity", "SymmetricEntropicAffinity",
     "AffinityMatcher", "DRModule",
-    "silhouette_samples", "silhouette_score",
-    "PCA", "SNE", "TSNE", "UMAP", "LargeVis", "InfoTSNE", "TSNEkhorn", "PACMAP", "COSNE", "KernelPCA", "PHATE",
+    "silhouette_samples", "silhouette_score", "knn_label_accuracy",
+    "knn_recall", "neighborhood_preservation", "kmeans_ari", "adjusted_rand_index",
+    "PCA", "SNE", "TSNE", "UMAP", "LargeVis", "InfoTSNE", "TSNEkhorn", "PACMAP", "COSNE", "KernelPCA", "PHATE", "IncrementalPCA", "ExactIncrementalPCA",
     "DoublyStochasticQuadraticAffinity",
     "MAGICAffinity", "PACMAPAffinity", "PHATEAffinity", "SelfTuningAffinity", "UMAPAffinity",
     "knn_graph", "pairwise_distances", "pairwise_distances_indexed",

@@ -1,0 +1,67 @@
+"""kNN-based evaluation metrics.
+
+TPU-native counterparts of the reference's eval package
+(reference: torchdr/eval/knn_labels.py:17-196,
+torchdr/eval/neighborhood_preservation.py:17-187). Both run on the
+from-scratch kNN graph (ops/distance.py) — no Faiss. For mesh execution,
+shard the inputs by rows (torchdr_tpu.parallel) and the same code runs
+per-chunk with XLA collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..ops.distance import knn_graph
+from ..utils.wrappers import to_jax
+
+
+def knn_label_accuracy(
+    X,
+    labels,
+    k: int = 10,
+    metric: str = "euclidean",
+    exclude_self: bool = True,
+    return_per_sample: bool = False,
+):
+    """Fraction of each point's k nearest neighbors sharing its label."""
+    X, _ = to_jax(X)
+    labels = jnp.asarray(labels)
+    _, idx = knn_graph(X, k=k, metric=metric, exclude_diag=exclude_self)
+    same = (labels[idx] == labels[:, None]).astype(jnp.float32)
+    per_sample = jnp.mean(same, axis=1)
+    return per_sample if return_per_sample else float(jnp.mean(per_sample))
+
+
+def neighborhood_preservation(
+    X,
+    Z,
+    K: int,
+    metric: str = "euclidean",
+    return_per_sample: bool = False,
+):
+    """K-ary neighborhood overlap between input X and embedding Z.
+
+    For each point: |kNN_X ∩ kNN_Z| / K.
+    """
+    X, _ = to_jax(X)
+    Z, _ = to_jax(Z)
+    _, idx_X = knn_graph(X, k=K, metric=metric, exclude_diag=True)
+    _, idx_Z = knn_graph(Z, k=K, metric=metric, exclude_diag=True)
+    # vectorized membership: broadcast compare (n, K, K); fine at eval-scale K
+    member = jnp.any(idx_Z[:, :, None] == idx_X[:, None, :], axis=2)
+    per_sample = jnp.sum(member, axis=1).astype(jnp.float32) / K
+    return per_sample if return_per_sample else float(jnp.mean(per_sample))
+
+
+def knn_recall(indices_pred, indices_true, return_per_sample: bool = False):
+    """Recall@k of a predicted kNN index set vs ground truth (bench helper)."""
+    indices_pred = jnp.asarray(indices_pred)
+    indices_true = jnp.asarray(indices_true)
+    member = jnp.any(
+        indices_pred[:, :, None] == indices_true[:, None, :], axis=2
+    )
+    per_sample = jnp.mean(member.astype(jnp.float32), axis=1)
+    return per_sample if return_per_sample else float(jnp.mean(per_sample))
