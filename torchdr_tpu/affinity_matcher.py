@@ -79,6 +79,8 @@ class AffinityMatcher(DRModule):
         verbose: bool = False,
         random_state: Optional[int] = None,
         check_interval: int = 50,
+        distributed: Union[bool, str] = False,
+        mesh=None,
         **kwargs,
     ):
         super().__init__(
@@ -114,6 +116,8 @@ class AffinityMatcher(DRModule):
         self.init = init
         self.init_scaling = init_scaling
         self.check_interval = check_interval
+        self.distributed = distributed
+        self.mesh = mesh
 
         # Early-exaggeration plan; overridden by NeighborEmbedding.
         self._ee_coeff = 1.0
@@ -126,6 +130,55 @@ class AffinityMatcher(DRModule):
         """Store a fitted attribute unless it is a tracer (inside jit)."""
         if not _is_tracer(value):
             setattr(self, name, value)
+
+    # --- distributed placement (SPMD over a data mesh) ---
+
+    def _resolve_mesh(self):
+        """Build the mesh for SPMD training, or None for single-device.
+
+        Replaces the reference's torchrun/NCCL bootstrap (torchdr/
+        neighbor_embedding/base.py:354-383): here "distributed" is only a
+        placement decision — the same compiled loop runs row-sharded with
+        XLA-inserted collectives.
+        """
+        if self.mesh is not None:
+            return self.mesh
+        enabled = (
+            len(jax.devices()) > 1 if self.distributed == "auto" else bool(self.distributed)
+        )
+        if not enabled:
+            return None
+        from .parallel.mesh import make_mesh
+
+        return make_mesh()
+
+    def _mesh_constraints(self, mesh):
+        """(constrain_rows, constrain_replicated) in-jit sharding helpers.
+
+        Row-shard every n-leading array, replicate the embedding — mechanism
+        3 of the reference's parallelism (replicated embedding + summed
+        gradients, SURVEY.md §2.3) expressed as GSPMD constraints instead of
+        explicit NCCL calls. ``with_sharding_constraint`` tolerates n not
+        divisible by the mesh (GSPMD falls back to the largest divisor
+        sharding); for full utilization make n a multiple of the mesh size.
+        """
+        from .parallel.mesh import replicated, row_sharding
+
+        n = self.n_samples_in_
+        rep = replicated(mesh)
+
+        def constrain_rows(tree):
+            def f(x):
+                if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n:
+                    return lax.with_sharding_constraint(x, row_sharding(mesh, x.ndim))
+                return x
+
+            return jax.tree_util.tree_map(f, tree)
+
+        def constrain_rep(x):
+            return lax.with_sharding_constraint(x, rep)
+
+        return constrain_rows, constrain_rep
 
     # --- fit ---
 
@@ -327,37 +380,64 @@ class AffinityMatcher(DRModule):
                 hyper["momentum"] = jnp.where(in_ee, mom_ee, mom_post)
             return coeff, lr_t, hyper, in_ee
 
-        def compute_grad(Z, carry, it, key, coeff):
-            if use_closed_form:
-                return self._gradients(Z, consts, carry, it, key, coeff)
+        mesh = self._resolve_mesh()
+        if mesh is not None:
+            self.logger.info(
+                f"SPMD training over {mesh.devices.size} devices "
+                f"(axis '{mesh.axis_names[0]}')."
+            )
+            constrain_rows, constrain_rep = self._mesh_constraints(mesh)
+        else:
+            constrain_rows = constrain_rep = lambda x: x
 
-            def loss_fn(Zv):
-                loss, new_carry = self._loss(Zv, consts, carry, it, key, coeff)
-                return loss, new_carry
+        # Static (non-array) const leaves — e.g. n, used in shapes — stay
+        # Python values via closure; arrays travel as jit arguments so their
+        # shardings propagate.
+        static_consts = {
+            k: v for k, v in consts.items() if not hasattr(v, "ndim")
+        }
+        array_consts = {k: v for k, v in consts.items() if hasattr(v, "ndim")}
 
-            (_, new_carry), grad = jax.value_and_grad(loss_fn, has_aux=True)(Z)
-            return grad, new_carry
+        def run(state0, consts_arrays):
+            consts = {**constrain_rows(consts_arrays), **static_consts}
 
-        def cond(state):
-            it, Z, opt_state, key, carry, gn, done = state
-            return jnp.logical_and(it < max_iter, jnp.logical_not(done))
+            def compute_grad(Z, carry, it, key, coeff):
+                if use_closed_form:
+                    return self._gradients(Z, consts, carry, it, key, coeff)
 
-        def body(state):
-            it, Z, opt_state, key, carry, gn, done = state
-            key, sub = jax.random.split(key)
-            coeff, lr_t, hyper, in_ee = schedule(it)
-            if has_ee:
-                # Phase boundary: the reference re-creates the optimizer at
-                # the end of step ee_iter → zero the moments before step
-                # ee_iter + 1.
-                opt_state = lax.cond(
-                    it == ee_iter + 1, opt.reset, lambda s: s, opt_state
-                )
-            grad, carry = compute_grad(Z, carry, it, sub, coeff)
-            Z_new, opt_state = opt.update(grad, opt_state, Z, lr_t, hyper)
-            gn = jnp.sqrt(jnp.sum(grad * grad))
-            done = jnp.logical_and(it % check_interval == 0, gn < min_grad_norm)
-            return it + 1, Z_new, opt_state, key, carry, gn, done
+                def loss_fn(Zv):
+                    loss, new_carry = self._loss(Zv, consts, carry, it, key, coeff)
+                    return loss, new_carry
+
+                (_, new_carry), grad = jax.value_and_grad(loss_fn, has_aux=True)(Z)
+                return grad, new_carry
+
+            def cond(state):
+                it, Z, opt_state, key, carry, gn, done = state
+                return jnp.logical_and(it < max_iter, jnp.logical_not(done))
+
+            def body(state):
+                it, Z, opt_state, key, carry, gn, done = state
+                key, sub = jax.random.split(key)
+                coeff, lr_t, hyper, in_ee = schedule(it)
+                if has_ee:
+                    # Phase boundary: the reference re-creates the optimizer
+                    # at the end of step ee_iter → zero the moments before
+                    # step ee_iter + 1.
+                    opt_state = lax.cond(
+                        it == ee_iter + 1, opt.reset, lambda s: s, opt_state
+                    )
+                grad, carry = compute_grad(Z, carry, it, sub, coeff)
+                carry = constrain_rows(carry)
+                Z_new, opt_state = opt.update(grad, opt_state, Z, lr_t, hyper)
+                # keep the embedding replicated: this is where XLA inserts
+                # the gradient all-reduce of the reference's mechanism 3
+                Z_new = constrain_rep(Z_new)
+                gn = jnp.sqrt(jnp.sum(grad * grad))
+                done = jnp.logical_and(it % check_interval == 0, gn < min_grad_norm)
+                return it + 1, Z_new, opt_state, key, carry, gn, done
+
+            return lax.while_loop(cond, body, state0)
 
         state0 = (
             jnp.asarray(0, jnp.int32),
@@ -369,7 +449,6 @@ class AffinityMatcher(DRModule):
             jnp.asarray(False),
         )
 
-        run = jax.jit(lambda s: lax.while_loop(cond, body, s))
-        it, Z, _, _, carry, gn, _ = run(state0)
+        it, Z, _, _, carry, gn, _ = jax.jit(run)(state0, array_consts)
         self._final_carry_ = jax.tree_util.tree_map(lambda x: x, carry)
         return Z, it, gn
