@@ -62,7 +62,13 @@ def pairwise_distances(
     return -neg_topk, indices
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "k", "exclude_diag", "block_size"))
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "metric", "k", "exclude_diag", "block_size", "precision", "mode",
+        "recall_target",
+    ),
+)
 def knn_graph(
     X: jnp.ndarray,
     Y: Optional[jnp.ndarray] = None,
@@ -70,14 +76,23 @@ def knn_graph(
     metric: str = "sqeuclidean",
     exclude_diag: bool = True,
     block_size: int = 1024,
+    precision: str = "highest",
+    mode: str = "exact",
+    recall_target: float = 0.95,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact kNN graph: for each row of X, the k nearest rows of Y (or X).
+    """kNN graph: for each row of X, the k nearest rows of Y (or X).
 
     Streams query blocks with ``lax.map`` so peak memory is
     O(block_size · m) instead of O(n · m); each block is one MXU matmul
-    followed by ``lax.top_k``. This is the from-scratch replacement for
-    Faiss IndexFlat (reference: torchdr/distance/faiss.py:225-404) — exact,
-    100% recall by construction, no host round-trip.
+    followed by k-selection. This is the from-scratch replacement for the
+    Faiss tiers (reference: torchdr/distance/faiss.py:225-404):
+
+    - ``mode="exact"``: ``lax.top_k`` — the IndexFlat tier, 100% recall.
+    - ``mode="approx"``: ``lax.approx_min_k`` — the TPU PartialReduce
+      hardware path (Chern et al. 2022, "TPU-KNN at Peak FLOP/s"); ~5-6x
+      faster selection at ``recall_target`` recall. This is the IVF-role
+      tier, but with a *tunable, data-independent* recall guarantee instead
+      of Faiss's data-dependent nprobe behavior.
 
     Returns ``(dists, indices)`` of shape ``(n, k)``.
     """
@@ -93,11 +108,13 @@ def knn_graph(
 
     def process_block(b):
         Xb = lax.dynamic_slice_in_dim(Xp, b * block, block, axis=0)
-        C = pairwise_block(Xb, Yc, metric)
+        C = pairwise_block(Xb, Yc, metric, precision)
         if exclude_diag and self_mode:
             rows = b * block + row_base
             cols = jnp.arange(Yc.shape[0])
             C = C + MASK_VALUE * (rows[:, None] == cols[None, :]).astype(C.dtype)
+        if mode == "approx":
+            return lax.approx_min_k(C, k, recall_target=recall_target)
         neg_topk, idx = lax.top_k(-C, k)
         return -neg_topk, idx
 

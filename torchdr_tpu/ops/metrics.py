@@ -26,15 +26,23 @@ def check_metric(metric: str) -> None:
         raise ValueError(f"[TorchDR-TPU] ERROR : The '{metric}' distance is not supported.")
 
 
-def _gram(X: jnp.ndarray, Y: jnp.ndarray) -> jnp.ndarray:
-    """X @ Y.T on the MXU with full f32 precision.
+PRECISIONS = {
+    "highest": lax.Precision.HIGHEST,  # exact f32 (6-pass bf16 on MXU)
+    "high": lax.Precision.HIGH,        # 3-pass bf16 (~tf32 accuracy)
+    "default": lax.Precision.DEFAULT,  # raw bf16 inputs, f32 accumulate
+}
+
+
+def _gram(X: jnp.ndarray, Y: jnp.ndarray, precision: str = "highest") -> jnp.ndarray:
+    """X @ Y.T on the MXU.
 
     Distances feed k-selection and entropy calibration, where bf16 rounding
-    of the cross term flips neighbor ranks — so force HIGHEST (f32-via-3-pass
-    on TPU MXU) rather than the bf16 default.
+    of the cross term can flip neighbor ranks — default HIGHEST (exact f32).
+    "high"/"default" trade ~1e-3 relative distance error for 2-6x MXU
+    throughput; on clustered data recall@k stays >99% (bench reports both).
     """
     return jnp.matmul(
-        X, Y.T, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST
+        X, Y.T, preferred_element_type=jnp.float32, precision=PRECISIONS[precision]
     )
 
 
@@ -43,7 +51,9 @@ def sq_dists_from_gram(x_norm, y_norm, gram):
     return jnp.maximum(x_norm[:, None] + y_norm[None, :] - 2.0 * gram, 0.0)
 
 
-def pairwise_block(X: jnp.ndarray, Y: jnp.ndarray, metric: str = "sqeuclidean") -> jnp.ndarray:
+def pairwise_block(
+    X: jnp.ndarray, Y: jnp.ndarray, metric: str = "sqeuclidean", precision: str = "highest"
+) -> jnp.ndarray:
     """Dense pairwise distances between two (possibly small) blocks.
 
     Semantics match the reference backend (torchdr/distance/torch.py:88-108):
@@ -54,11 +64,11 @@ def pairwise_block(X: jnp.ndarray, Y: jnp.ndarray, metric: str = "sqeuclidean") 
     if metric == "manhattan":
         return jnp.sum(jnp.abs(X[:, None, :] - Y[None, :, :]), axis=-1)
     if metric == "angular":
-        return -_gram(X, Y)
+        return -_gram(X, Y, precision)
 
     x_norm = jnp.sum(X * X, axis=-1)
     y_norm = jnp.sum(Y * Y, axis=-1)
-    sq = sq_dists_from_gram(x_norm, y_norm, _gram(X, Y))
+    sq = sq_dists_from_gram(x_norm, y_norm, _gram(X, Y, precision))
     if metric == "sqeuclidean":
         return sq
     if metric == "euclidean":

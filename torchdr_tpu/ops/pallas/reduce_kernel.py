@@ -1,0 +1,249 @@
+"""Pallas TPU kernel: fused pairwise log-kernel row-logsumexp.
+
+The hot O(n²) op of exact TSNE/SNE repulsion (reference: torchdr/
+neighbor_embedding/tsne.py:172-180 runs it through KeOps). The XLA tier
+(ops/reduce.py) streams row blocks but still materializes each
+(block × n) distance block in HBM; at n=10k that is ~400 MB of HBM traffic
+per optimizer step, twice per step with the recomputing backward — the
+dominant cost of the whole TSNE iteration.
+
+This kernel keeps everything in VMEM: for each (query-tile, db-tile) grid
+cell it computes the distance block on the MXU, applies the log-kernel on
+the VPU, and folds it into a running (max, sumexp) accumulator — the
+flash-attention pattern with logsumexp instead of attention. HBM traffic
+drops to O(n·d) per pass.
+
+The backward pass reuses the same tiling: with the row-lse known, softmax
+weights are recomputed per tile and folded into the gradient with two MXU
+matmuls per cell (see ops/reduce.py for the math).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _log_kernel(sq, kernel):
+    if kernel == "student":
+        return -jnp.log1p(sq)
+    return -sq
+
+
+def _dlogk_dsq(sq, kernel):
+    if kernel == "student":
+        return -1.0 / (1.0 + sq)
+    return -1.0
+
+
+def _sq_block(zq, zdb):
+    qn = jnp.sum(zq * zq, axis=-1)
+    dn = jnp.sum(zdb * zdb, axis=-1)
+    # HIGHEST: embeddings are low-dim (d=2), the gram is cheap, and bf16
+    # rounding here shifts repulsion forces by ~1e-3 relative.
+    gram = jax.lax.dot_general(
+        zq, zdb,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+    return jnp.maximum(qn[:, None] + dn[None, :] - 2.0 * gram, 0.0)
+
+
+def _kernel_val(sq, kernel):
+    """Kernel in probability domain — bounded in (0, 1], so the row-sum can
+    be accumulated directly with no logsumexp max-trick and (for student)
+    no transcendentals in the hot loop."""
+    if kernel == "student":
+        return 1.0 / (1.0 + sq)
+    return jnp.exp(-sq)
+
+
+def _fwd_kernel(
+    zq_ref, zdb_ref, out_ref, s_ref, *, kernel, exclude_diag, q_tile, db_tile, n
+):
+    qi = pl.program_id(0)
+    dj = pl.program_id(1)
+
+    @pl.when(dj == 0)
+    def _():
+        s_ref[:] = jnp.zeros_like(s_ref)
+
+    sq = _sq_block(zq_ref[:], zdb_ref[:])
+    q = _kernel_val(sq, kernel)
+
+    rows = qi * q_tile + jax.lax.broadcasted_iota(jnp.int32, q.shape, 0)
+    cols = dj * db_tile + jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
+    invalid = (rows >= n) | (cols >= n)
+    if exclude_diag:
+        invalid = invalid | (rows == cols)
+    q = jnp.where(invalid, 0.0, q)
+
+    s_ref[:] += jnp.sum(q, axis=1, keepdims=True)
+
+    @pl.when(dj == pl.num_programs(1) - 1)
+    def _():
+        out_ref[:] = jnp.log(jnp.maximum(s_ref[:], 1e-30))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kernel", "exclude_diag", "q_tile", "db_tile", "interpret"),
+)
+def rowlse_fwd_pallas(
+    Z: jnp.ndarray,
+    kernel: str = "student",
+    exclude_diag: bool = True,
+    q_tile: int = 512,
+    db_tile: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Row-wise logsumexp of log k(‖z_i − z_j‖²) — fused, VMEM-resident."""
+    n, d = Z.shape
+    q_tile = min(q_tile, max(8, n))
+    db_tile = min(db_tile, max(128, n))
+    n_q = -(-n // q_tile)
+    n_db = -(-n // db_tile)
+    Zq = jnp.zeros((n_q * q_tile, d), Z.dtype).at[:n].set(Z)
+    Zdb = jnp.zeros((n_db * db_tile, d), Z.dtype).at[:n].set(Z)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel,
+            kernel=kernel,
+            exclude_diag=exclude_diag,
+            q_tile=q_tile,
+            db_tile=db_tile,
+            n=n,
+        ),
+        grid=(n_q, n_db),
+        in_specs=[
+            pl.BlockSpec((q_tile, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((db_tile, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((q_tile, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_q * q_tile, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((q_tile, 1), jnp.float32)],
+        interpret=interpret,
+    )(Zq, Zdb)
+    return out[:n, 0]
+
+
+def _bwd_kernel(
+    zq_ref, zdb_ref, lse_ref, g_ref, dzq_ref, dzdb_ref, acc_q_ref, *,
+    kernel, exclude_diag, q_tile, db_tile, n
+):
+    qi = pl.program_id(0)
+    dj = pl.program_id(1)
+
+    @pl.when(dj == 0)
+    def _():
+        acc_q_ref[:] = jnp.zeros_like(acc_q_ref)
+
+    zq = zq_ref[:]
+    zdb = zdb_ref[:]
+    sq = _sq_block(zq, zdb)
+    q = _kernel_val(sq, kernel)
+
+    rows = qi * q_tile + jax.lax.broadcasted_iota(jnp.int32, q.shape, 0)
+    cols = dj * db_tile + jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
+    invalid = (rows >= n) | (cols >= n)
+    if exclude_diag:
+        invalid = invalid | (rows == cols)
+
+    # c = g * softmax_weight * dlogk/dd²; in kernel domain the student case
+    # is -g q² / S and gaussian is -g q / S — no transcendentals.
+    inv_S = g_ref[:]  # pre-divided by S on the host side (g / exp(lse))
+    if kernel == "student":
+        c = jnp.where(invalid, 0.0, -inv_S * q * q)
+    else:
+        c = jnp.where(invalid, 0.0, -inv_S * q)
+
+    row_c = jnp.sum(c, axis=1, keepdims=True)
+    col_c = jnp.sum(c, axis=0)
+    # query-side gradient accumulates across db tiles
+    acc_q_ref[:] += 2.0 * (
+        row_c * zq
+        - jax.lax.dot_general(
+            c, zdb, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    )
+    # key-side gradient: one (db_tile, d) block per (qi, dj); accumulated
+    # over qi by the caller (output carries a leading q-grid axis).
+    dzdb_ref[0] = 2.0 * (
+        col_c[:, None] * zdb
+        - jax.lax.dot_general(
+            c, zq, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    )
+
+    @pl.when(dj == pl.num_programs(1) - 1)
+    def _():
+        dzq_ref[:] = acc_q_ref[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kernel", "exclude_diag", "q_tile", "db_tile", "interpret"),
+)
+def rowlse_bwd_pallas(
+    Z: jnp.ndarray,
+    row_lse: jnp.ndarray,
+    g: jnp.ndarray,
+    kernel: str = "student",
+    exclude_diag: bool = True,
+    q_tile: int = 512,
+    db_tile: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    n, d = Z.shape
+    q_tile = min(q_tile, max(8, n))
+    db_tile = min(db_tile, max(128, n))
+    n_q = -(-n // q_tile)
+    n_db = -(-n // db_tile)
+    Zq = jnp.zeros((n_q * q_tile, d), Z.dtype).at[:n].set(Z)
+    Zdb = jnp.zeros((n_db * db_tile, d), Z.dtype).at[:n].set(Z)
+    g_over_S = g * jnp.exp(-row_lse)
+    lse = jnp.full((n_q * q_tile, 1), 0.0, jnp.float32).at[:n, 0].set(row_lse)
+    gq = jnp.zeros((n_q * q_tile, 1), jnp.float32).at[:n, 0].set(g_over_S)
+
+    dzq, dzdb = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel,
+            kernel=kernel,
+            exclude_diag=exclude_diag,
+            q_tile=q_tile,
+            db_tile=db_tile,
+            n=n,
+        ),
+        grid=(n_q, n_db),
+        in_specs=[
+            pl.BlockSpec((q_tile, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((db_tile, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((q_tile, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, db_tile, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_q * q_tile, d), jnp.float32),
+            jax.ShapeDtypeStruct((n_q, n_db * db_tile, d), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((q_tile, d), jnp.float32)],
+        interpret=interpret,
+    )(Zq, Zdb, lse, gq)
+
+    dZ = dzq[:n] + jnp.sum(dzdb, axis=0)[:n]
+    return dZ

@@ -80,7 +80,18 @@ def pairwise_logkernel_rowlse(
     return _rowlse_fwd_impl(Z, kernel, exclude_diag, block_size)
 
 
+def _use_pallas() -> bool:
+    """Use the fused Pallas kernel on TPU-like backends; blockwise jnp on CPU."""
+    import jax
+
+    return jax.default_backend() not in ("cpu",)
+
+
 def _rowlse_fwd_impl(Z, kernel, exclude_diag, block_size):
+    if _use_pallas() and Z.shape[0] >= 1024:
+        from .pallas.reduce_kernel import rowlse_fwd_pallas
+
+        return rowlse_fwd_pallas(Z, kernel, exclude_diag)
     n = Z.shape[0]
     block = min(block_size, max(8, n))
     Zp, _ = _pad_rows(Z, block)
@@ -104,6 +115,10 @@ def _rowlse_fwd(Z, kernel, exclude_diag, block_size):
 
 def _rowlse_bwd(kernel, exclude_diag, block_size, res, g):
     Z, row_lse = res
+    if _use_pallas() and Z.shape[0] >= 1024:
+        from .pallas.reduce_kernel import rowlse_bwd_pallas
+
+        return (rowlse_bwd_pallas(Z, row_lse, g, kernel, exclude_diag),)
     n, d = Z.shape
     block = min(block_size, max(8, n))
     Zp, _ = _pad_rows(Z, block)
