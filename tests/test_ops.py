@@ -159,3 +159,38 @@ def test_svd_flip_deterministic():
     U2, V2 = svd_flip(-U, -V)
     assert jnp.abs(U1 - U2).max() < 1e-6
     assert jnp.abs(V1 - V2).max() < 1e-6
+
+
+class TestStreamingKnn:
+    def test_matches_in_memory(self):
+        from torchdr_tpu.ops.streaming import knn_graph_from_batches
+
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(200, 16)).astype(np.float32)
+        batches = [X[i : i + 64] for i in range(0, 200, 64)]
+        d0, i0 = knn_graph(jnp.asarray(X), k=7)
+        d1, i1 = knn_graph_from_batches(batches, k=7)
+        assert jnp.abs(jnp.sort(d1, 1) - jnp.sort(d0, 1)).max() < 1e-4
+        # no self-matches survive
+        assert not bool((np.asarray(i1) == np.arange(200)[:, None]).any())
+
+    def test_tuple_batches(self):
+        from torchdr_tpu.ops.streaming import knn_graph_from_batches
+
+        rng = np.random.default_rng(1)
+        X = rng.normal(size=(100, 8)).astype(np.float32)
+        y = rng.integers(0, 3, 100)
+        batches = [(X[i : i + 50], y[i : i + 50]) for i in range(0, 100, 50)]
+        d, i = knn_graph_from_batches(batches, k=5)
+        assert i.shape == (100, 5)
+
+
+class TestApproxKnn:
+    def test_recall_above_target(self):
+        X = jax.random.normal(jax.random.PRNGKey(0), (2048, 32))
+        d0, i0 = knn_graph(X, k=10)
+        d1, i1 = knn_graph(X, k=10, mode="approx", recall_target=0.9)
+        rec = np.mean(
+            [len(set(np.asarray(i1[j])) & set(np.asarray(i0[j]))) / 10 for j in range(2048)]
+        )
+        assert rec > 0.85

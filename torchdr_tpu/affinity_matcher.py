@@ -49,9 +49,10 @@ class AffinityMatcher(DRModule):
     r"""Minimize a loss between input affinity P and embedding affinity Q.
 
     Parameters mirror the reference (torchdr/affinity_matcher.py:116-197);
-    torch-specific ones (``backend``, ``compile``, ``encoder``) are dropped —
-    the engine is always compiled, and parametric encoders are planned as a
-    flax extension.
+    torch-specific ones (``backend``, ``compile``) are dropped — the engine
+    is always compiled. ``encoder`` accepts a flax ``linen.Module`` for
+    parametric (out-of-sample) embeddings; its weights are optimized instead
+    of a free embedding matrix.
     """
 
     # Subclasses with analytic gradients set this (reference:
@@ -81,6 +82,7 @@ class AffinityMatcher(DRModule):
         check_interval: int = 50,
         distributed: Union[bool, str] = False,
         mesh=None,
+        encoder=None,
         **kwargs,
     ):
         super().__init__(
@@ -118,6 +120,7 @@ class AffinityMatcher(DRModule):
         self.check_interval = check_interval
         self.distributed = distributed
         self.mesh = mesh
+        self.encoder = encoder
 
         # Early-exaggeration plan; overridden by NeighborEmbedding.
         self._ee_coeff = 1.0
@@ -207,6 +210,19 @@ class AffinityMatcher(DRModule):
         self.clear_memory()
         return embedding
 
+    def transform(self, X=None):
+        """Training embedding, or encoder(X) for new data in parametric mode."""
+        if X is not None and self.encoder is not None:
+            if not hasattr(self, "encoder_variables_"):
+                raise ValueError("Estimator is not fitted yet.")
+            from .utils.wrappers import restore_format, to_jax
+
+            X_jax, fmt = to_jax(X)
+            return restore_format(
+                self.encoder.apply(self.encoder_variables_, X_jax), fmt
+            )
+        return super().transform(X)
+
     def _compute_input_affinity(self, X: jnp.ndarray) -> None:
         if isinstance(self.affinity_in, str):  # "precomputed"
             if X.shape[0] != X.shape[1]:
@@ -245,6 +261,8 @@ class AffinityMatcher(DRModule):
         consts = {"P": self.affinity_in_, "n": self.n_samples_in_}
         if self.NN_indices_ is not None:
             consts["NN"] = self.NN_indices_
+        if self.encoder is not None:
+            consts["X_encoder"] = X
         return consts
 
     def _init_carry(self, consts: Dict) -> Dict:
@@ -255,6 +273,20 @@ class AffinityMatcher(DRModule):
     def _init_embedding(self, X: jnp.ndarray) -> jnp.ndarray:
         n = X.shape[0]
         key = self._root_key()
+
+        if self.encoder is not None:
+            # Parametric mode: the optimized parameters are the encoder's
+            # weights; the embedding is its output (reference: torchdr/
+            # affinity_matcher.py:507-513).
+            variables = self.encoder.init(key, X[:1])
+            Z0 = self.encoder.apply(variables, X[:1])
+            if Z0.shape[-1] != self.n_components:
+                raise ValueError(
+                    f"[TorchDR-TPU] encoder output dim ({Z0.shape[-1]}) != "
+                    f"n_components ({self.n_components})."
+                )
+            self._encoder_variables0_ = variables
+            return self.encoder.apply(variables, X)
 
         if isinstance(self.init, (np.ndarray, jnp.ndarray)) and not isinstance(self.init, str):
             emb = jnp.asarray(self.init, dtype=X.dtype)
@@ -398,26 +430,42 @@ class AffinityMatcher(DRModule):
         }
         array_consts = {k: v for k, v in consts.items() if hasattr(v, "ndim")}
 
+        # Parametric mode: the optimized pytree is the encoder's weights;
+        # the embedding is recomputed from them each step (reference:
+        # torchdr/affinity_matcher.py:374-394).
+        encoder = self.encoder
+
         def run(state0, consts_arrays):
             consts = {**constrain_rows(consts_arrays), **static_consts}
 
-            def compute_grad(Z, carry, it, key, coeff):
-                if use_closed_form:
-                    return self._gradients(Z, consts, carry, it, key, coeff)
+            def to_Z(theta):
+                if encoder is None:
+                    return theta
+                return encoder.apply(theta, consts["X_encoder"])
 
-                def loss_fn(Zv):
-                    loss, new_carry = self._loss(Zv, consts, carry, it, key, coeff)
+            def compute_grad(theta, carry, it, key, coeff):
+                if use_closed_form:
+                    if encoder is None:
+                        return self._gradients(theta, consts, carry, it, key, coeff)
+                    # analytic dL/dZ, then chain rule through the encoder
+                    Z, vjp_fn = jax.vjp(to_Z, theta)
+                    dZ, new_carry = self._gradients(Z, consts, carry, it, key, coeff)
+                    return vjp_fn(dZ)[0], new_carry
+
+                def loss_fn(theta_v):
+                    Z = to_Z(theta_v)
+                    loss, new_carry = self._loss(Z, consts, carry, it, key, coeff)
                     return loss, new_carry
 
-                (_, new_carry), grad = jax.value_and_grad(loss_fn, has_aux=True)(Z)
+                (_, new_carry), grad = jax.value_and_grad(loss_fn, has_aux=True)(theta)
                 return grad, new_carry
 
             def cond(state):
-                it, Z, opt_state, key, carry, gn, done = state
+                it, theta, opt_state, key, carry, gn, done = state
                 return jnp.logical_and(it < max_iter, jnp.logical_not(done))
 
             def body(state):
-                it, Z, opt_state, key, carry, gn, done = state
+                it, theta, opt_state, key, carry, gn, done = state
                 key, sub = jax.random.split(key)
                 coeff, lr_t, hyper, in_ee = schedule(it)
                 if has_ee:
@@ -427,28 +475,35 @@ class AffinityMatcher(DRModule):
                     opt_state = lax.cond(
                         it == ee_iter + 1, opt.reset, lambda s: s, opt_state
                     )
-                grad, carry = compute_grad(Z, carry, it, sub, coeff)
+                grad, carry = compute_grad(theta, carry, it, sub, coeff)
                 carry = constrain_rows(carry)
-                Z_new, opt_state = opt.update(grad, opt_state, Z, lr_t, hyper)
-                # keep the embedding replicated: this is where XLA inserts
-                # the gradient all-reduce of the reference's mechanism 3
-                Z_new = constrain_rep(Z_new)
-                gn = jnp.sqrt(jnp.sum(grad * grad))
+                theta_new, opt_state = opt.update(grad, opt_state, theta, lr_t, hyper)
+                if encoder is None:
+                    # keep the embedding replicated: this is where XLA
+                    # inserts the gradient all-reduce of the reference's
+                    # mechanism 3 (encoder params are replicated anyway)
+                    theta_new = constrain_rep(theta_new)
+                leaves = jax.tree_util.tree_leaves(grad)
+                gn = jnp.sqrt(sum(jnp.sum(g * g) for g in leaves))
                 done = jnp.logical_and(it % check_interval == 0, gn < min_grad_norm)
-                return it + 1, Z_new, opt_state, key, carry, gn, done
+                return it + 1, theta_new, opt_state, key, carry, gn, done
 
-            return lax.while_loop(cond, body, state0)
+            it, theta, _, _, carry, gn, _ = lax.while_loop(cond, body, state0)
+            return it, theta, to_Z(theta), carry, gn
 
+        theta0 = self._encoder_variables0_ if encoder is not None else Z0
         state0 = (
             jnp.asarray(0, jnp.int32),
-            Z0,
-            opt.init(Z0),
+            theta0,
+            opt.init(theta0),
             self._root_key(),
             carry0,
             jnp.asarray(jnp.inf, jnp.float32),
             jnp.asarray(False),
         )
 
-        it, Z, _, _, carry, gn, _ = jax.jit(run)(state0, array_consts)
+        it, theta, Z, carry, gn = jax.jit(run)(state0, array_consts)
+        if encoder is not None:
+            self.encoder_variables_ = theta
         self._final_carry_ = jax.tree_util.tree_map(lambda x: x, carry)
         return Z, it, gn
