@@ -31,7 +31,20 @@ def make_clustered(n, d, n_clusters=100, seed=0):
 
 
 def main():
+    import os
+
     import jax
+
+    # Persistent compile cache: first-ever run pays the (slow, remote)
+    # compiles; subsequent runs — including the driver's — start warm.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     import torchdr_tpu as tdr

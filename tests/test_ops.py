@@ -194,3 +194,29 @@ class TestApproxKnn:
             [len(set(np.asarray(i1[j])) & set(np.asarray(i0[j]))) / 10 for j in range(2048)]
         )
         assert rec > 0.85
+
+
+class TestNativeLoader:
+    def test_roundtrip_both_backends(self, tmp_path):
+        from torchdr_tpu.utils.native_loader import NpyBatchLoader
+
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(1000, 16)).astype(np.float32)
+        path = str(tmp_path / "x.npy")
+        np.save(path, X)
+        for force in [False, True]:
+            ld = NpyBatchLoader(path, batch_rows=256, force_numpy=force)
+            rec = np.concatenate(list(ld))
+            assert np.array_equal(rec, X)
+            ld.close()
+
+    def test_random_access(self, tmp_path):
+        from torchdr_tpu.utils.native_loader import NpyBatchLoader
+
+        X = np.arange(100 * 4, dtype=np.float32).reshape(100, 4)
+        path = str(tmp_path / "y.npy")
+        np.save(path, X)
+        ld = NpyBatchLoader(path, batch_rows=30)
+        assert np.array_equal(ld.get_batch(3), X[90:])
+        assert np.array_equal(ld.get_batch(0), X[:30])
+        ld.close()

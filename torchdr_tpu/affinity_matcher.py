@@ -185,6 +185,12 @@ class AffinityMatcher(DRModule):
 
     # --- fit ---
 
+    def fit_transform(self, X, y=None):
+        # Row dedup does not apply to a precomputed affinity matrix.
+        if isinstance(self.affinity_in, str):
+            self.process_duplicates = False
+        return super().fit_transform(X, y)
+
     def _fit_transform(self, X: jnp.ndarray, y: Optional[Any] = None) -> jnp.ndarray:
         self.n_samples_in_, self.n_features_in_ = X.shape
 

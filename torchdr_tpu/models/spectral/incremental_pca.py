@@ -263,6 +263,10 @@ class ExactIncrementalPCA(DRModule):
         return s, g
 
     def fit(self, X, y=None):
+        self.fit_transform(X, y)
+        return self
+
+    def _fit_stats(self, X):
         batches = list(_iter_batches(X, self.batch_size))
         d = batches[0].shape[1]
         total = 0
@@ -289,7 +293,7 @@ class ExactIncrementalPCA(DRModule):
         return self
 
     def fit_transform(self, X, y=None):
-        self.fit(X)
+        self._fit_stats(X)
         outs = [
             (b - self.mean_) @ self.components_.T for b in _iter_batches(X, self.batch_size)
         ]
