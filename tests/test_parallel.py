@@ -105,3 +105,25 @@ class TestDistributedPCA:
         Xs = shard_rows(jnp.asarray(X), mesh)
         Z2 = np.abs(np.asarray(tdr.PCA(n_components=3)._fit_transform(Xs)))
         assert np.abs(Z1 - Z2).max() < 1e-2
+
+
+@needs_8
+class TestDistributedSymmetrize:
+    @pytest.mark.parametrize("mode", ["sum", "sum_minus_prod"])
+    def test_matches_single_device(self, mesh, mode):
+        from torchdr_tpu.ops.sparse import sparse_to_dense, symmetrize_sparse
+        from torchdr_tpu.parallel.sparse import distributed_symmetrize_sparse
+
+        rng = np.random.default_rng(0)
+        n, k = 100, 7
+        idx = np.stack(
+            [rng.choice(n, size=k, replace=False) for _ in range(n)]
+        ).astype(np.int32)
+        vals = rng.random((n, k)).astype(np.float32)
+        v1, i1 = symmetrize_sparse(jnp.asarray(vals), jnp.asarray(idx), mode=mode)
+        v2, i2 = distributed_symmetrize_sparse(
+            jnp.asarray(vals), jnp.asarray(idx), mesh, mode=mode
+        )
+        d1 = np.asarray(sparse_to_dense(v1, i1, n))
+        d2 = np.asarray(sparse_to_dense(v2, i2, n))
+        assert np.abs(d1 - d2).max() < 1e-5

@@ -37,6 +37,8 @@ class Affinity(BaseEstimator, ABC):
         device: str = "auto",
         verbose: bool = False,
         random_state: Optional[int] = None,
+        knn_mode: str = "exact",
+        knn_precision: str = "highest",
         **kwargs,
     ):
         self.metric = metric
@@ -44,6 +46,11 @@ class Affinity(BaseEstimator, ABC):
         self.device = device if device is not None else "auto"
         self.verbose = bool(verbose)
         self.random_state = random_state
+        # kNN tier (ops/distance.knn_graph): mode 'exact'|'approx',
+        # precision 'highest'|'high'|'default' — the performance levers of
+        # the graph-construction phase.
+        self.knn_mode = knn_mode
+        self.knn_precision = knn_precision
         self.logger = get_logger(type(self).__name__, self.verbose)
 
     def __call__(self, X, **kwargs):
@@ -68,7 +75,12 @@ class Affinity(BaseEstimator, ABC):
         """Pairwise distances; ``(n, k)`` kNN form when ``k`` is given."""
         if k is not None:
             C, indices = knn_graph(
-                X, k=k, metric=self.metric, exclude_diag=self.zero_diag
+                X,
+                k=k,
+                metric=self.metric,
+                exclude_diag=self.zero_diag,
+                mode=self.knn_mode,
+                precision=self.knn_precision,
             )
             return (C, indices) if return_indices else C
         C, _ = pairwise_distances(X, metric=self.metric, exclude_diag=self.zero_diag)

@@ -49,6 +49,8 @@ class COSNE(NeighborEmbedding):
         metric: str = "sqeuclidean",
         sparsity: bool = True,
         check_interval: int = 50,
+        knn_mode: str = "exact",
+        knn_precision: str = "highest",
         **kwargs,
     ):
         self.perplexity = perplexity
@@ -58,6 +60,9 @@ class COSNE(NeighborEmbedding):
         self.max_iter_affinity = max_iter_affinity
         self.sparsity = sparsity
 
+        self.knn_mode = knn_mode
+        self.knn_precision = knn_precision
+
         affinity_in = EntropicAffinity(
             perplexity=perplexity,
             metric=metric,
@@ -65,6 +70,8 @@ class COSNE(NeighborEmbedding):
             device=device,
             verbose=verbose,
             sparsity=sparsity,
+            knn_mode=knn_mode,
+            knn_precision=knn_precision,
         )
         super().__init__(
             affinity_in=affinity_in,

@@ -43,6 +43,8 @@ class _EntropicNegativeSampling(NegativeSamplingNeighborEmbedding):
         early_exaggeration_coeff: Optional[float] = None,
         early_exaggeration_iter: Optional[int] = None,
         check_interval: int = 50,
+        knn_mode: str = "exact",
+        knn_precision: str = "highest",
         discard_NNs: bool = False,
         **kwargs,
     ):
@@ -51,6 +53,9 @@ class _EntropicNegativeSampling(NegativeSamplingNeighborEmbedding):
         self.max_iter_affinity = max_iter_affinity
         self.sparsity = sparsity
 
+        self.knn_mode = knn_mode
+        self.knn_precision = knn_precision
+
         affinity_in = EntropicAffinity(
             perplexity=perplexity,
             metric=metric,
@@ -58,6 +63,8 @@ class _EntropicNegativeSampling(NegativeSamplingNeighborEmbedding):
             device=device,
             verbose=verbose,
             sparsity=sparsity,
+            knn_mode=knn_mode,
+            knn_precision=knn_precision,
         )
         super().__init__(
             affinity_in=affinity_in,

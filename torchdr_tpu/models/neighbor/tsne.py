@@ -53,6 +53,8 @@ class TSNE(NeighborEmbedding):
         metric: str = "sqeuclidean",
         sparsity: bool = True,
         check_interval: int = 50,
+        knn_mode: str = "exact",
+        knn_precision: str = "highest",
         block_size: int = 1024,
         **kwargs,
     ):
@@ -62,6 +64,9 @@ class TSNE(NeighborEmbedding):
         self.sparsity = sparsity
         self.block_size = block_size
 
+        self.knn_mode = knn_mode
+        self.knn_precision = knn_precision
+
         affinity_in = EntropicAffinity(
             perplexity=perplexity,
             metric=metric,
@@ -69,6 +74,8 @@ class TSNE(NeighborEmbedding):
             device=device,
             verbose=verbose,
             sparsity=sparsity,
+            knn_mode=knn_mode,
+            knn_precision=knn_precision,
         )
         super().__init__(
             affinity_in=affinity_in,
@@ -134,6 +141,8 @@ class SNE(NeighborEmbedding):
         metric: str = "sqeuclidean",
         sparsity: bool = True,
         check_interval: int = 50,
+        knn_mode: str = "exact",
+        knn_precision: str = "highest",
         block_size: int = 1024,
         **kwargs,
     ):
@@ -143,6 +152,9 @@ class SNE(NeighborEmbedding):
         self.sparsity = sparsity
         self.block_size = block_size
 
+        self.knn_mode = knn_mode
+        self.knn_precision = knn_precision
+
         affinity_in = EntropicAffinity(
             perplexity=perplexity,
             metric=metric,
@@ -150,6 +162,8 @@ class SNE(NeighborEmbedding):
             device=device,
             verbose=verbose,
             sparsity=sparsity,
+            knn_mode=knn_mode,
+            knn_precision=knn_precision,
         )
         super().__init__(
             affinity_in=affinity_in,

@@ -73,6 +73,8 @@ class UMAP(NegativeSamplingNeighborEmbedding):
         metric: str = "sqeuclidean",
         negative_sample_rate: int = 5,
         check_interval: int = 50,
+        knn_mode: str = "exact",
+        knn_precision: str = "highest",
         discard_NNs: bool = False,
         **kwargs,
     ):
@@ -89,6 +91,9 @@ class UMAP(NegativeSamplingNeighborEmbedding):
         self._a = a
         self._b = b
 
+        self.knn_mode = knn_mode
+        self.knn_precision = knn_precision
+
         affinity_in = UMAPAffinity(
             n_neighbors=n_neighbors,
             metric=metric,
@@ -96,6 +101,8 @@ class UMAP(NegativeSamplingNeighborEmbedding):
             device=device,
             verbose=verbose,
             sparsity=True,
+            knn_mode=knn_mode,
+            knn_precision=knn_precision,
         )
         super().__init__(
             affinity_in=affinity_in,

@@ -100,7 +100,10 @@ class PCA(DRModule):
             is_sharded = len(X.sharding.device_set) > 1  # type: ignore[attr-defined]
         except AttributeError:
             is_sharded = False
-        return "covariance" if is_sharded else "svd"
+        # Tall matrices: the d×d eigh is far cheaper than an n×d SVD on TPU
+        # (same components up to sign; O(nd²) → O(nd·min(n,d) + d³)).
+        tall = X.shape[0] > 8 * X.shape[1] and X.shape[0] > 4096
+        return "covariance" if (is_sharded or tall) else "svd"
 
     def _fit_transform(self, X: jnp.ndarray, y: Optional[Any] = None) -> jnp.ndarray:
         method = self._resolve_method(X)

@@ -87,28 +87,33 @@ def _symmetrize_sparse_impl(
     v = values.reshape(-1)
     valid = cols >= 0
 
-    # Linearized keys for P and Pᵀ edges; invalid edges get a sentinel that
-    # sorts last (n*n) so they never merge with real edges.
-    sentinel = n * n
-    key_P = jnp.where(valid, rows * n + jnp.maximum(cols, 0), sentinel)
-    key_PT = jnp.where(valid, jnp.maximum(cols, 0) * n + rows, sentinel)
-
-    keys = jnp.concatenate([key_P, key_PT])
+    # Edge list of P and Pᵀ as (row, col) pairs. No linearized row*n+col key:
+    # it overflows int32 beyond n ≈ 46k (and x64 is off on TPU). Invalid
+    # edges get row = n so they sort last and never merge with real edges.
+    er = jnp.concatenate(
+        [jnp.where(valid, rows, n), jnp.where(valid, jnp.maximum(cols, 0), n)]
+    )
+    ec = jnp.concatenate(
+        [jnp.where(valid, jnp.maximum(cols, 0), n), jnp.where(valid, rows, n)]
+    )
     vals = jnp.concatenate([v, v])
     is_P = jnp.concatenate(
         [jnp.ones_like(v, dtype=bool), jnp.zeros_like(v, dtype=bool)]
     )
 
-    order = jnp.argsort(keys)
-    keys = keys[order]
-    vals = vals[order]
-    is_P = is_P[order]
+    # Lexicographic (row, col) order via two stable argsorts.
+    o1 = jnp.argsort(ec, stable=True)
+    er, ec, vals, is_P = er[o1], ec[o1], vals[o1], is_P[o1]
+    o2 = jnp.argsort(er, stable=True)
+    er, ec, vals, is_P = er[o2], ec[o2], vals[o2], is_P[o2]
 
-    m = keys.shape[0]  # 2nk, static
-    prev_key = jnp.concatenate([jnp.full((1,), -1, keys.dtype), keys[:-1]])
-    next_key = jnp.concatenate([keys[1:], jnp.full((1,), sentinel + 1, keys.dtype)])
-    is_head = (keys != prev_key) & (keys < sentinel)
-    pair_next = keys == next_key  # kNN rows have unique cols → groups of ≤ 2
+    m = er.shape[0]  # 2nk, static
+    prev_r = jnp.concatenate([jnp.full((1,), -1, er.dtype), er[:-1]])
+    prev_c = jnp.concatenate([jnp.full((1,), -1, ec.dtype), ec[:-1]])
+    next_r = jnp.concatenate([er[1:], jnp.full((1,), -2, er.dtype)])
+    next_c = jnp.concatenate([ec[1:], jnp.full((1,), -2, ec.dtype)])
+    is_head = ((er != prev_r) | (ec != prev_c)) & (er < n)
+    pair_next = (er == next_r) & (ec == next_c)  # unique cols → groups of ≤ 2
 
     next_vals = jnp.concatenate([vals[1:], jnp.zeros((1,), vals.dtype)])
     next_is_P = jnp.concatenate([is_P[1:], jnp.zeros((1,), bool)])
@@ -122,22 +127,21 @@ def _symmetrize_sparse_impl(
 
     # Pack heads row-wise. Heads are sorted by (row, col) already.
     head_rank = jnp.cumsum(is_head.astype(jnp.int32)) - 1  # rank among heads
-    row_of = keys // n
     # First head rank per row (scatter-min).
     row_start = jnp.full((n,), m, jnp.int32)
-    row_start = row_start.at[jnp.where(is_head, row_of, n - 1)].min(
+    row_start = row_start.at[jnp.where(is_head, er, n - 1)].min(
         jnp.where(is_head, head_rank, m)
     )
-    slot = head_rank - row_start[jnp.clip(row_of, 0, n - 1)]
+    slot = head_rank - row_start[jnp.clip(er, 0, n - 1)]
 
     flat_pos = jnp.where(
-        is_head & (slot < k_out), row_of * k_out + slot, n * k_out
+        is_head & (slot < k_out), er * k_out + slot, n * k_out
     )  # overflow slot n*k_out is a dump cell
     out_vals = jnp.zeros((n * k_out + 1,), values.dtype).at[flat_pos].set(
         jnp.where(is_head, v_comb, 0.0)
     )
     out_idx = jnp.full((n * k_out + 1,), -1, indices.dtype).at[flat_pos].set(
-        jnp.where(is_head, (keys % n).astype(indices.dtype), -1)
+        jnp.where(is_head, ec.astype(indices.dtype), -1)
     )
     return out_vals[:-1].reshape(n, k_out), out_idx[:-1].reshape(n, k_out)
 

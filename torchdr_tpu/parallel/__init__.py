@@ -5,6 +5,7 @@ Replaces the reference's torchrun/NCCL distributed runtime (SURVEY.md
 """
 
 from .knn import knn_graph_ring, knn_graph_sharded
+from .sparse import distributed_symmetrize_sparse
 from .mesh import (
     MeshConfig,
     chunk_bounds,
@@ -20,5 +21,5 @@ from .mesh import (
 __all__ = [
     "MeshConfig", "make_mesh", "shard_rows", "replicate", "replicated",
     "row_sharding", "chunk_bounds", "rank_of_rows", "pad_to_multiple",
-    "knn_graph_ring", "knn_graph_sharded",
+    "knn_graph_ring", "knn_graph_sharded", "distributed_symmetrize_sparse",
 ]
