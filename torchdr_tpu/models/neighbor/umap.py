@@ -75,6 +75,7 @@ class UMAP(NegativeSamplingNeighborEmbedding):
         check_interval: int = 50,
         knn_mode: str = "exact",
         knn_precision: str = "highest",
+        max_graph_degree: Optional[int] = None,
         discard_NNs: bool = False,
         **kwargs,
     ):
@@ -93,6 +94,13 @@ class UMAP(NegativeSamplingNeighborEmbedding):
 
         self.knn_mode = knn_mode
         self.knn_precision = knn_precision
+        # Hub points can give the symmetrized fuzzy graph a per-row width of
+        # hundreds of columns; every training-step gather scales with that
+        # width. Cap it at the strongest ``max_graph_degree`` edges per row
+        # (default 8·n_neighbors) — bounded memory, umap-learn-grade quality.
+        self.max_graph_degree = (
+            int(max_graph_degree) if max_graph_degree is not None else 8 * int(n_neighbors)
+        )
 
         affinity_in = UMAPAffinity(
             n_neighbors=n_neighbors,
@@ -126,6 +134,43 @@ class UMAP(NegativeSamplingNeighborEmbedding):
         )
 
     # --- epochs_per_sample schedule (reference: umap.py:215-234) ---
+
+    def on_affinity_computation_end(self):
+        """Structurally prune dead edges before building training state.
+
+        The reference masks edges with P ≤ max(P)/max_iter to infinity in
+        ``epochs_per_sample`` but keeps them resident (umap.py:219-231).
+        Hub points can make the symmetrized width huge (hundreds of columns,
+        dominated by these never-firing edges); on TPU that width multiplies
+        every per-step gather buffer. Since a masked edge can never fire, we
+        drop it from the padded representation entirely — same trajectory,
+        a fraction of the memory and per-step gather work.
+        """
+        P = jnp.asarray(self.affinity_in_)
+        NN = jnp.asarray(self.NN_indices_)
+        A_max = jnp.max(P)
+        threshold = A_max / self.max_iter
+        keep = (P > threshold) & (NN >= 0)
+        kept = int(jnp.max(jnp.sum(keep, axis=1)))
+        k_new = max(8, -(-kept // 8) * 8)
+        k_new = min(k_new, max(8, -(-self.max_graph_degree // 8) * 8))
+        if k_new < P.shape[1]:
+            self.logger.info(
+                f"Pruning affinity width {P.shape[1]} -> {k_new} "
+                f"(threshold + max_graph_degree={self.max_graph_degree})."
+            )
+            # strongest edges first (dead edges have P·keep = 0 → sort last)
+            order = jnp.argsort(-jnp.where(keep, P, 0.0), axis=1, stable=True)[
+                :, :k_new
+            ]
+            keep_s = jnp.take_along_axis(keep, order, axis=1)
+            self.affinity_in_ = jnp.where(
+                keep_s, jnp.take_along_axis(P, order, axis=1), 0.0
+            )
+            self.NN_indices_ = jnp.where(
+                keep_s, jnp.take_along_axis(NN, order, axis=1), -1
+            )
+        super().on_affinity_computation_end()
 
     def _build_consts(self, X):
         consts = super()._build_consts(X)
