@@ -52,18 +52,35 @@ def _run_fit(n: int) -> dict:
 
     X_jax = jnp.asarray(X)
 
-    model = tdr.UMAP(n_neighbors=K, max_iter=ITERS, random_state=0, init="pca")
+    # First fit pays the (remote, uncacheable) compiles; the second hits the
+    # in-process jit cache and is the steady-state number.
+    cold0 = time.perf_counter()
+    tdr.UMAP(n_neighbors=K, max_iter=ITERS, random_state=0, init="pca").fit_transform(
+        X_jax
+    )
+    cold_s = time.perf_counter() - cold0
+
+    model = tdr.UMAP(n_neighbors=K, max_iter=ITERS, random_state=1, init="pca")
     t0 = time.perf_counter()
     Z = np.asarray(model.fit_transform(X_jax))
     fit_s = time.perf_counter() - t0
 
+    # kNN-graph recall@K of the graph tier actually used (exact → 1.0 by
+    # construction; measured against brute-force over the FULL database on a
+    # query subsample).
     sub = min(2000, n)
-    _, i_exact = knn_graph(X_jax[:sub], k=K, precision="highest")
-    _, i_full = knn_graph(X_jax, k=K, precision="highest", block_size=2048)
-    recall = knn_recall(i_full[:sub], i_exact)
+    _, i_true = knn_graph(
+        X_jax[:sub], X_jax, k=K + 1, precision="highest", exclude_diag=False
+    )
+    i_true = np.asarray(i_true)
+    i_true = np.stack(
+        [row[row != r][:K] for r, row in zip(range(sub), i_true)]
+    )  # strip self
+    _, i_used = knn_graph(X_jax, k=K, precision="highest", block_size=2048)
+    recall = knn_recall(np.asarray(i_used)[:sub], i_true)
     step = max(1, n // 3000)
     sil = tdr.silhouette_score(Z[::step], lab[::step])
-    return {"n": n, "fit_s": fit_s, "recall": recall, "sil": sil}
+    return {"n": n, "fit_s": fit_s, "cold_s": cold_s, "recall": recall, "sil": sil}
 
 
 def main():
@@ -101,7 +118,8 @@ def main():
     vs_baseline = projected_ref_s / fit_s
 
     print(
-        f"[bench] n={n} fit={fit_s:.2f}s recall@{K}={result['recall']:.4f} "
+        f"[bench] n={n} fit={fit_s:.2f}s (cold {result.get('cold_s', -1):.1f}s) "
+        f"recall@{K}={result['recall']:.4f} "
         f"silhouette={result['sil']:.3f} projected_B200_knn={projected_ref_s:.2f}s",
         file=sys.stderr,
     )

@@ -220,3 +220,18 @@ class TestNativeLoader:
         assert np.array_equal(ld.get_batch(3), X[90:])
         assert np.array_equal(ld.get_batch(0), X[:30])
         ld.close()
+
+
+class TestKnnConfig:
+    def test_presets(self):
+        from torchdr_tpu.ops import EXACT, FAST, KnnConfig
+
+        assert EXACT.mode == "exact"
+        assert FAST.mode == "approx"
+        assert "mode" in KnnConfig().kwargs()
+
+    def test_invalid_mode_raises(self):
+        from torchdr_tpu.ops import KnnConfig
+
+        with pytest.raises(ValueError, match="knn mode"):
+            KnnConfig(mode="bogus")

@@ -53,7 +53,15 @@ from .models import (
     TSNEkhorn,
     UMAP,
 )
-from .ops import knn_graph, pairwise_distances, pairwise_distances_indexed
+from .ops import (
+    EXACT,
+    FAST,
+    KnnConfig,
+    knn_graph,
+    knn_graph_from_batches,
+    pairwise_distances,
+    pairwise_distances_indexed,
+)
 
 __all__ = [
     "Affinity", "LogAffinity", "SparseAffinity", "SparseLogAffinity",
@@ -66,4 +74,5 @@ __all__ = [
     "DoublyStochasticQuadraticAffinity",
     "MAGICAffinity", "PACMAPAffinity", "PHATEAffinity", "SelfTuningAffinity", "UMAPAffinity",
     "knn_graph", "pairwise_distances", "pairwise_distances_indexed",
+    "KnnConfig", "EXACT", "FAST", "knn_graph_from_batches",
 ]

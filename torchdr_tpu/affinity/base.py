@@ -48,7 +48,17 @@ class Affinity(BaseEstimator, ABC):
         self.random_state = random_state
         # kNN tier (ops/distance.knn_graph): mode 'exact'|'approx',
         # precision 'highest'|'high'|'default' — the performance levers of
-        # the graph-construction phase.
+        # the graph-construction phase. A KnnConfig bundles them.
+        from ..ops.knn_config import KnnConfig
+
+        if isinstance(knn_mode, KnnConfig):
+            cfg = knn_mode
+            knn_mode, knn_precision = cfg.mode, cfg.precision
+            self.knn_recall_target = cfg.recall_target
+            self.knn_block_size = cfg.block_size
+        else:
+            self.knn_recall_target = 0.95
+            self.knn_block_size = 1024
         self.knn_mode = knn_mode
         self.knn_precision = knn_precision
         self.logger = get_logger(type(self).__name__, self.verbose)
@@ -81,6 +91,8 @@ class Affinity(BaseEstimator, ABC):
                 exclude_diag=self.zero_diag,
                 mode=self.knn_mode,
                 precision=self.knn_precision,
+                recall_target=self.knn_recall_target,
+                block_size=self.knn_block_size,
             )
             return (C, indices) if return_indices else C
         C, _ = pairwise_distances(X, metric=self.metric, exclude_diag=self.zero_diag)

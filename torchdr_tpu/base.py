@@ -159,7 +159,14 @@ class DRModule(BaseEstimator, ABC):
         raise NotImplementedError
 
     # Large intermediates dropped by clear_memory; subclasses extend.
-    _memory_attrs = ("affinity_in_", "NN_indices_", "opt_state_", "neg_exclusion_")
+    _memory_attrs = (
+        "affinity_in_",
+        "NN_indices_",
+        "opt_state_",
+        "neg_exclusion_",
+        "neg_valid_counts_",
+        "_final_carry_",
+    )
 
     def clear_memory(self):
         """Drop large fitted intermediates (affinities, optimizer state).

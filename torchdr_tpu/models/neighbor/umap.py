@@ -192,10 +192,17 @@ class UMAP(NegativeSamplingNeighborEmbedding):
     # --- closed-form gradients (reference: umap.py:236-292) ---
 
     def _attractive_gradients(self, Z, consts, carry, it, key):
+        # Gathers dominate this step on TPU (random 8-byte rows); gather the
+        # neighbor embeddings ONCE and derive distances from the same buffer.
         NN = consts["NN"]
-        D = pairwise_distances_indexed(Z, key_indices=NN, metric="sqeuclidean")
+        diff = Z[:, None, :] - Z[jnp.maximum(NN, 0)]
+        D = jnp.sum(diff * diff, axis=-1)
         positive = D > 0
-        coef = 2.0 * self._a * self._b * D ** (self._b - 1.0) / (1.0 + self._a * D**self._b)
+        # single pow: D^(b-1) = D^b / D
+        t = D**self._b
+        coef = 2.0 * self._a * self._b * t / (
+            jnp.maximum(D, 1e-20) * (1.0 + self._a * t)
+        )
         coef = jnp.where(positive, coef, 0.0)
 
         # Per-edge update schedule: stronger edges fire more often.
@@ -204,14 +211,14 @@ class UMAP(NegativeSamplingNeighborEmbedding):
         eons = jnp.where(mask, eons + consts["epochs_per_sample"], eons)
         coef = jnp.where(mask, coef, 0.0)
 
-        diff = Z[:, None, :] - Z[jnp.maximum(NN, 0)]
         grad = jnp.clip(jnp.einsum("ijk,ij->ik", diff, coef), -4.0, 4.0)
         carry = dict(carry, epoch_of_next_sample=eons, active_edges=mask)
         return grad, carry
 
     def _repulsive_gradients(self, Z, consts, carry, it, key):
         neg = self._sample_negatives(key, consts)
-        D = pairwise_distances_indexed(Z, key_indices=neg, metric="sqeuclidean")
+        diff = Z[:, None, :] - Z[neg]
+        D = jnp.sum(diff * diff, axis=-1)
         coef = -2.0 * self._b / ((D + self._eps) * (1.0 + self._a * D**self._b))
 
         # Keep negative_sample_rate negative edges per active positive edge.
@@ -219,6 +226,5 @@ class UMAP(NegativeSamplingNeighborEmbedding):
         col = jnp.arange(self.n_negatives)
         coef = jnp.where(col[None, :] >= neg_counts[:, None], 0.0, coef)
 
-        diff = Z[:, None, :] - Z[neg]
         grad = jnp.clip(jnp.einsum("ijk,ij->ik", diff, coef), -4.0, 4.0)
         return grad, carry

@@ -1,6 +1,9 @@
 """Compute primitives: distances, kNN graph, streaming reductions, root search."""
 
 from .distance import knn_graph, pairwise_distances, pairwise_distances_indexed
+from .kmeans import kmeans_fit
+from .knn_config import EXACT, FAST, KnnConfig
+from .streaming import knn_graph_from_batches
 from .metrics import LIST_METRICS, pairwise_block
 from .reduce import pairwise_logkernel_logsumexp, pairwise_logkernel_rowlse
 from .reductions import (
@@ -20,6 +23,7 @@ from .sparse import sparse_to_dense, symmetrize_sparse
 
 __all__ = [
     "knn_graph", "pairwise_distances", "pairwise_distances_indexed",
+    "KnnConfig", "EXACT", "FAST", "kmeans_fit", "knn_graph_from_batches",
     "LIST_METRICS", "pairwise_block",
     "pairwise_logkernel_logsumexp", "pairwise_logkernel_rowlse",
     "center_kernel", "cross_entropy_loss", "entropy", "kmax", "kmin",

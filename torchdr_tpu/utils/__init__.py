@@ -15,3 +15,20 @@ from .validation import (
     check_type,
 )
 from .wrappers import deduplicate, restore_format, to_jax, validate_2d
+
+from .checkpoint import load_estimator, save_estimator
+from .encoders import MLP, make_mlp_encoder
+from .manifold import (
+    mobius_add,
+    poincare_expmap,
+    poincare_expmap0,
+    poincare_inner,
+    poincare_logmap,
+    poincare_logmap0,
+    poincare_project,
+    poincare_ptransp,
+    poincare_sqdist,
+)
+from .native_loader import NpyBatchLoader, native_available
+from .profiling import PhaseTimer, device_trace
+from .visu import plot_poincare_disk
