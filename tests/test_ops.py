@@ -235,3 +235,44 @@ class TestKnnConfig:
 
         with pytest.raises(ValueError, match="knn mode"):
             KnnConfig(mode="bogus")
+
+
+class TestPallasReduceKernel:
+    """Interpret-mode coverage of the fused TPU repulsion kernel."""
+
+    @pytest.mark.parametrize("kernel", ["student", "gaussian"])
+    def test_fwd_matches_blockwise(self, kernel):
+        from torchdr_tpu.ops.pallas.reduce_kernel import rowlse_fwd_pallas
+
+        Z = jax.random.normal(jax.random.PRNGKey(0), (300, 2))
+        ref = pairwise_logkernel_rowlse(Z, kernel, True, 64)
+        got = rowlse_fwd_pallas(Z, kernel, True, q_tile=64, db_tile=128, interpret=True)
+        assert jnp.abs(ref - got).max() < 1e-5
+
+    @pytest.mark.parametrize("kernel", ["student", "gaussian"])
+    def test_bwd_matches_autodiff(self, kernel):
+        from torchdr_tpu.ops.pallas.reduce_kernel import (
+            rowlse_bwd_pallas,
+            rowlse_fwd_pallas,
+        )
+
+        Z = jax.random.normal(jax.random.PRNGKey(1), (200, 2))
+
+        def f(Z):
+            return logsumexp(pairwise_logkernel_rowlse(Z, kernel, True, 64))
+
+        gref = jax.grad(f)(Z)
+        lse = rowlse_fwd_pallas(Z, kernel, True, q_tile=64, db_tile=128, interpret=True)
+        g_row = jax.nn.softmax(lse)
+        got = rowlse_bwd_pallas(
+            Z, lse, g_row, kernel, True, q_tile=64, db_tile=128, interpret=True
+        )
+        assert jnp.abs(gref - got).max() < 1e-4
+
+    def test_non_divisible_shapes(self):
+        from torchdr_tpu.ops.pallas.reduce_kernel import rowlse_fwd_pallas
+
+        Z = jax.random.normal(jax.random.PRNGKey(2), (173, 2))
+        ref = pairwise_logkernel_rowlse(Z, "student", True, 64)
+        got = rowlse_fwd_pallas(Z, "student", True, q_tile=64, db_tile=64, interpret=True)
+        assert jnp.abs(ref - got).max() < 1e-5
