@@ -1,0 +1,111 @@
+"""Functional optimizer/scheduler tests with torch.optim as the oracle.
+
+The engine's phase switching relies on update semantics matching
+torch.optim exactly (reference tuning transfers); verify step-by-step
+against torch on random gradient sequences.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from torchdr_tpu.utils.optim import make_optimizer
+from torchdr_tpu.utils.schedulers import make_scheduler
+
+
+def _run_ours(name, grads, lr, hyper):
+    opt = make_optimizer(name)
+    p = jnp.zeros(grads[0].shape)
+    state = opt.init(p)
+    for g in grads:
+        p, state = opt.update(jnp.asarray(g), state, p, lr, hyper)
+    return np.asarray(p)
+
+
+def _run_torch(optimizer_cls, grads, lr, **kwargs):
+    p = torch.zeros(grads[0].shape, dtype=torch.float64)
+    p.requires_grad_(True)
+    opt = optimizer_cls([p], lr=lr, **kwargs)
+    for g in grads:
+        opt.zero_grad()
+        p.grad = torch.as_tensor(g, dtype=torch.float64)
+        opt.step()
+    return p.detach().numpy()
+
+
+@pytest.fixture
+def grads():
+    rng = np.random.default_rng(0)
+    return [rng.normal(size=(7,)).astype(np.float64) for _ in range(10)]
+
+
+class TestOptimizers:
+    @pytest.mark.parametrize("momentum", [0.0, 0.5, 0.9])
+    def test_sgd_matches_torch(self, grads, momentum):
+        ours = _run_ours("SGD", grads, 0.1, {"momentum": momentum})
+        theirs = _run_torch(torch.optim.SGD, grads, 0.1, momentum=momentum)
+        assert np.abs(ours - theirs).max() < 1e-5
+
+    def test_adam_matches_torch(self, grads):
+        ours = _run_ours("Adam", grads, 0.05, {})
+        theirs = _run_torch(torch.optim.Adam, grads, 0.05)
+        assert np.abs(ours - theirs).max() < 1e-5
+
+    def test_adamw_matches_torch(self, grads):
+        ours = _run_ours("AdamW", grads, 0.05, {"weight_decay": 1e-2})
+        theirs = _run_torch(torch.optim.AdamW, grads, 0.05, weight_decay=1e-2)
+        assert np.abs(ours - theirs).max() < 1e-4
+
+    def test_reset_zeroes_moments(self):
+        opt = make_optimizer("SGD")
+        p = jnp.zeros((3,))
+        state = opt.init(p)
+        p, state = opt.update(jnp.ones((3,)), state, p, 0.1, {"momentum": 0.9})
+        state = opt.reset(state)
+        assert float(jnp.abs(state["buf"]).max()) == 0.0
+        assert int(state["step"]) == 0
+
+    def test_unknown_optimizer_raises(self):
+        with pytest.raises(ValueError, match="not supported"):
+            make_optimizer("Bogus")
+
+    def test_riemannian_adam_stays_on_ball(self):
+        import jax
+
+        opt = make_optimizer("RiemannianAdam")
+        p = 0.9 * jax.random.normal(jax.random.PRNGKey(0), (20, 2))
+        p = p / (1.0 + jnp.linalg.norm(p, axis=1, keepdims=True))
+        state = opt.init(p)
+        for i in range(20):
+            g = jax.random.normal(jax.random.PRNGKey(i), p.shape)
+            p, state = opt.update(g, state, p, 0.1, {})
+        assert float(jnp.linalg.norm(p, axis=1).max()) < 1.0
+
+
+class TestSchedulers:
+    def test_linear_matches_torch(self):
+        sched = make_scheduler("LinearLR", {"start_factor": 1.0, "end_factor": 0.0})
+        p = torch.zeros(1, requires_grad=True)
+        opt = torch.optim.SGD([p], lr=1.0)
+        tsched = torch.optim.lr_scheduler.LinearLR(
+            opt, start_factor=1.0, end_factor=0.0, total_iters=10
+        )
+        for t in range(10):
+            torch_lr = opt.param_groups[0]["lr"]
+            ours = float(sched(jnp.asarray(float(t)), jnp.asarray(10.0)))
+            assert abs(ours - torch_lr) < 1e-6, (t, ours, torch_lr)
+            opt.step()
+            tsched.step()
+
+    def test_exponential(self):
+        sched = make_scheduler("ExponentialLR", {"gamma": 0.9})
+        assert abs(float(sched(jnp.asarray(3.0), jnp.asarray(10.0))) - 0.9**3) < 1e-6
+
+    def test_none_is_constant(self):
+        sched = make_scheduler(None)
+        assert float(sched(jnp.asarray(7.0), jnp.asarray(10.0))) == 1.0
+
+    def test_unknown_raises(self):
+        with pytest.raises(ValueError, match="Scheduler"):
+            make_scheduler("Bogus")

@@ -66,7 +66,7 @@ def pairwise_distances(
     jax.jit,
     static_argnames=(
         "metric", "k", "exclude_diag", "block_size", "precision", "mode",
-        "recall_target",
+        "recall_target", "db_block",
     ),
 )
 def knn_graph(
@@ -79,6 +79,7 @@ def knn_graph(
     precision: str = "highest",
     mode: str = "exact",
     recall_target: float = 0.95,
+    db_block: int = 65_536,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """kNN graph: for each row of X, the k nearest rows of Y (or X).
 
@@ -100,23 +101,58 @@ def knn_graph(
     self_mode = Y is None
     Yc = X if self_mode else Y
     n = X.shape[0]
+    m = Yc.shape[0]
     block = min(block_size, max(8, n))
 
     Xp, n_pad = _pad_rows(X, block)
     n_blocks = Xp.shape[0] // block
     row_base = jnp.arange(block)
 
-    def process_block(b):
-        Xb = lax.dynamic_slice_in_dim(Xp, b * block, block, axis=0)
-        C = pairwise_block(Xb, Yc, metric, precision)
+    # For large databases the distance block AND the per-row k-selection are
+    # chunked along columns with a running top-k merge: keeps every live
+    # buffer ≤ block·db_block and top_k's sort buffers bounded (top_k over
+    # millions of columns otherwise exhausts HBM).
+    chunk_db = m > db_block
+    if chunk_db:
+        mp = -(-m // db_block) * db_block
+        Yp = jnp.concatenate(
+            [Yc, jnp.zeros((mp - m, Yc.shape[1]), Yc.dtype)], axis=0
+        ) if mp != m else Yc
+        n_db_blocks = mp // db_block
+
+    def select(C, cols, rows):
         if exclude_diag and self_mode:
-            rows = b * block + row_base
-            cols = jnp.arange(Yc.shape[0])
             C = C + MASK_VALUE * (rows[:, None] == cols[None, :]).astype(C.dtype)
         if mode == "approx":
-            return lax.approx_min_k(C, k, recall_target=recall_target)
-        neg_topk, idx = lax.top_k(-C, k)
-        return -neg_topk, idx
+            d, loc = lax.approx_min_k(C, k, recall_target=recall_target)
+            return d, cols[loc]
+        neg_topk, loc = lax.top_k(-C, k)
+        return -neg_topk, cols[loc]
+
+    def process_block(b):
+        Xb = lax.dynamic_slice_in_dim(Xp, b * block, block, axis=0)
+        rows = b * block + row_base
+        if not chunk_db:
+            C = pairwise_block(Xb, Yc, metric, precision)
+            return select(C, jnp.arange(m), rows)
+
+        def db_step(j, carry):
+            best_d, best_i = carry
+            Yb = lax.dynamic_slice_in_dim(Yp, j * db_block, db_block, axis=0)
+            cols = j * db_block + jnp.arange(db_block)
+            C = pairwise_block(Xb, Yb, metric, precision)
+            C = C + MASK_VALUE * (cols[None, :] >= m).astype(C.dtype)
+            d, i = select(C, cols, rows)
+            cand_d = jnp.concatenate([best_d, d], axis=1)
+            cand_i = jnp.concatenate([best_i, i], axis=1)
+            neg, sel = lax.top_k(-cand_d, k)
+            return -neg, jnp.take_along_axis(cand_i, sel, axis=1)
+
+        init = (
+            jnp.full((block, k), MASK_VALUE, Xb.dtype),
+            jnp.full((block, k), -1, jnp.int32),
+        )
+        return lax.fori_loop(0, n_db_blocks, db_step, init)
 
     dists, indices = lax.map(process_block, jnp.arange(n_blocks))
     dists = dists.reshape(-1, k)[:n]
