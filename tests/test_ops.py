@@ -276,3 +276,37 @@ class TestPallasReduceKernel:
         ref = pairwise_logkernel_rowlse(Z, "student", True, 64)
         got = rowlse_fwd_pallas(Z, "student", True, q_tile=64, db_tile=64, interpret=True)
         assert jnp.abs(ref - got).max() < 1e-5
+
+
+class TestIVF:
+    def test_recall_on_clustered(self):
+        from torchdr_tpu.ops.ivf import ivf_knn
+
+        rng = np.random.default_rng(0)
+        centers = rng.normal(scale=8.0, size=(20, 16)).astype(np.float32)
+        n = 4000
+        X = jnp.asarray(
+            centers[rng.integers(0, 20, n)] + rng.normal(size=(n, 16)).astype(np.float32)
+        )
+        d0, i0 = knn_graph(X, k=10)
+        d1, i1 = ivf_knn(X, k=10, nprobe=8, n_clusters=32)
+        i0n, i1n = np.asarray(i0), np.asarray(i1)
+        rec = np.mean([len(set(i0n[j]) & set(i1n[j])) / 10 for j in range(n)])
+        assert rec > 0.98
+        # no self matches
+        assert not (i1n == np.arange(n)[:, None]).any()
+
+    def test_prebuilt_index_reuse(self):
+        from torchdr_tpu.ops.ivf import ivf_build, ivf_knn
+
+        X = jax.random.normal(jax.random.PRNGKey(0), (1000, 8))
+        index = ivf_build(X, n_clusters=16)
+        d1, i1 = ivf_knn(X, k=5, nprobe=4, index=index)
+        d2, i2 = ivf_knn(X, k=5, nprobe=4, index=index)
+        assert np.array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_auto_nlist(self):
+        from torchdr_tpu.ops.ivf import auto_nlist
+
+        assert auto_nlist(1_000_000) > 100
+        assert auto_nlist(1000) >= 16

@@ -56,6 +56,8 @@ from .models import (
 from .ops import (
     EXACT,
     FAST,
+    IVF,
+    ivf_knn,
     KnnConfig,
     knn_graph,
     knn_graph_from_batches,
@@ -74,5 +76,5 @@ __all__ = [
     "DoublyStochasticQuadraticAffinity",
     "MAGICAffinity", "PACMAPAffinity", "PHATEAffinity", "SelfTuningAffinity", "UMAPAffinity",
     "knn_graph", "pairwise_distances", "pairwise_distances_indexed",
-    "KnnConfig", "EXACT", "FAST", "knn_graph_from_batches",
+    "KnnConfig", "EXACT", "FAST", "IVF", "ivf_knn", "knn_graph_from_batches",
 ]

@@ -56,9 +56,13 @@ class Affinity(BaseEstimator, ABC):
             knn_mode, knn_precision = cfg.mode, cfg.precision
             self.knn_recall_target = cfg.recall_target
             self.knn_block_size = cfg.block_size
+            self.knn_nprobe = cfg.nprobe
+            self.knn_n_clusters = cfg.n_clusters
         else:
             self.knn_recall_target = 0.95
             self.knn_block_size = 1024
+            self.knn_nprobe = 16
+            self.knn_n_clusters = None
         self.knn_mode = knn_mode
         self.knn_precision = knn_precision
         self.logger = get_logger(type(self).__name__, self.verbose)
@@ -84,6 +88,19 @@ class Affinity(BaseEstimator, ABC):
     ):
         """Pairwise distances; ``(n, k)`` kNN form when ``k`` is given."""
         if k is not None:
+            if self.knn_mode == "ivf":
+                from ..ops.ivf import ivf_knn
+
+                if self.metric != "sqeuclidean":
+                    raise ValueError(
+                        "[TorchDR-TPU] ERROR : IVF tier supports sqeuclidean only."
+                    )
+                C, indices = ivf_knn(
+                    X, k=k, nprobe=self.knn_nprobe,
+                    n_clusters=self.knn_n_clusters,
+                    exclude_self=self.zero_diag,
+                )
+                return (C, indices) if return_indices else C
             C, indices = knn_graph(
                 X,
                 k=k,

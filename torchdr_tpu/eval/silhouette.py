@@ -17,16 +17,40 @@ from ..ops.metrics import pairwise_block
 from ..utils.wrappers import to_jax
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "n_clusters"))
-def _silhouette_samples(X, labels, weights, metric: str, n_clusters: int):
+@functools.partial(
+    jax.jit, static_argnames=("metric", "n_clusters", "block_size")
+)
+def _silhouette_samples(
+    X, labels, weights, metric: str, n_clusters: int, block_size: int = 4096
+):
     n = X.shape[0]
-    C = pairwise_block(X, X, metric)
-    onehot = (labels[None, :] == jnp.arange(n_clusters)[:, None]).astype(C.dtype)  # (c, n)
-    w = weights if weights is not None else jnp.ones((n,), C.dtype)
+    onehot = (labels[None, :] == jnp.arange(n_clusters)[:, None]).astype(X.dtype)  # (c, n)
+    w = weights if weights is not None else jnp.ones((n,), X.dtype)
     wc = onehot * w[None, :]
     cluster_mass = jnp.sum(wc, axis=1)  # (c,)
-    # sum of distances from each point to each cluster: (n, c)
-    dist_to_cluster = jnp.matmul(C, wc.T, preferred_element_type=jnp.float32)
+
+    # Per-point summed distance to each cluster, streamed in row blocks so
+    # the n×n matrix never materializes (the reference iterates per-cluster
+    # blocks instead, torchdr/eval/silhouette.py:21-200; one matmul per row
+    # block is the MXU-friendly form).
+    if n <= block_size:
+        C = pairwise_block(X, X, metric)
+        dist_to_cluster = jnp.matmul(C, wc.T, preferred_element_type=jnp.float32)
+    else:
+        from jax import lax
+
+        block = block_size
+        n_pad = -(-n // block) * block
+        Xp = jnp.zeros((n_pad, X.shape[1]), X.dtype).at[:n].set(X)
+
+        def process(b):
+            Xb = lax.dynamic_slice_in_dim(Xp, b * block, block, axis=0)
+            Cb = pairwise_block(Xb, X, metric)
+            return jnp.matmul(Cb, wc.T, preferred_element_type=jnp.float32)
+
+        dist_to_cluster = lax.map(process, jnp.arange(n_pad // block)).reshape(
+            n_pad, n_clusters
+        )[:n]
     own = labels  # (n,)
     own_mass = cluster_mass[own]
     own_weight = w

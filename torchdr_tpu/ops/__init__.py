@@ -2,7 +2,8 @@
 
 from .distance import knn_graph, pairwise_distances, pairwise_distances_indexed
 from .kmeans import kmeans_fit
-from .knn_config import EXACT, FAST, KnnConfig
+from .ivf import IVFIndex, ivf_build, ivf_knn
+from .knn_config import EXACT, FAST, IVF, KnnConfig
 from .streaming import knn_graph_from_batches
 from .metrics import LIST_METRICS, pairwise_block
 from .reduce import pairwise_logkernel_logsumexp, pairwise_logkernel_rowlse
@@ -23,7 +24,8 @@ from .sparse import sparse_to_dense, symmetrize_sparse
 
 __all__ = [
     "knn_graph", "pairwise_distances", "pairwise_distances_indexed",
-    "KnnConfig", "EXACT", "FAST", "kmeans_fit", "knn_graph_from_batches",
+    "KnnConfig", "EXACT", "FAST", "IVF", "kmeans_fit", "knn_graph_from_batches",
+    "IVFIndex", "ivf_build", "ivf_knn",
     "LIST_METRICS", "pairwise_block",
     "pairwise_logkernel_logsumexp", "pairwise_logkernel_rowlse",
     "center_kernel", "cross_entropy_loss", "entropy", "kmax", "kmin",

@@ -1,0 +1,191 @@
+"""IVF-style approximate kNN: coarse quantization + block-sparse probe.
+
+The ANN tier replacing Faiss IVFFlat (reference: torchdr/distance/
+faiss.py:323-473; B200 numbers in benchmarks/faiss/BENCHMARK_RESULTS.md).
+Designed for the MXU rather than translated from Faiss's per-query list
+scanning:
+
+- **Build**: k-means centroids (ops/kmeans.py, on a subsample), assign all
+  points by blockwise argmin, sort the database by cluster so each inverted
+  list is a contiguous row range.
+- **Search**: queries are *sorted by their nearest centroid* so each query
+  block probes a shared small set of clusters; each (query-block × cluster)
+  pair is then one dense MXU matmul over the cluster's contiguous rows — a
+  block-sparse distance computation with a running top-k merge. No
+  per-query gather/scan; the probed rows are loaded once per block.
+
+Like Faiss IVF this is approximate (a query whose true neighbors live in
+un-probed clusters misses them); unlike Faiss the probe set is chosen per
+query *block*, which is what makes the memory access TPU-shaped.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .metrics import MASK_VALUE, sq_dists_from_gram
+from .kmeans import kmeans_fit
+
+
+class IVFIndex(NamedTuple):
+    centroids: jnp.ndarray  # (nlist, d)
+    X_sorted: jnp.ndarray   # (n_pad, d) database rows grouped by cluster
+    ids_sorted: jnp.ndarray  # (n_pad,) original row ids (-1 padding)
+    offsets: jnp.ndarray    # (nlist,) start of each cluster in X_sorted
+    counts: jnp.ndarray     # (nlist,) cluster sizes
+    cap: int                # max cluster size (static)
+
+
+def auto_nlist(n: int) -> int:
+    """Faiss-style heuristic (reference: faiss.py:335-342)."""
+    return int(max(16, min(4 * (n ** 0.5), n / 39, 8192)))
+
+
+def ivf_build(
+    X: jnp.ndarray,
+    n_clusters: int | None = None,
+    key=None,
+    train_size: int = 25_600,
+    kmeans_iters: int = 25,
+) -> IVFIndex:
+    """Build the inverted file index (host-synced shapes; build once)."""
+    n, d = X.shape
+    nlist = n_clusters or auto_nlist(n)
+    key = key if key is not None else jax.random.PRNGKey(0)
+
+    train = X if n <= train_size else jax.random.choice(key, X, (train_size,), replace=False)
+    centroids, _, _ = kmeans_fit(train, nlist, key, max_iter=kmeans_iters)
+
+    labels = _assign_blockwise(X, centroids)
+    order = jnp.argsort(labels, stable=True)
+    labels_sorted = labels[order]
+    counts = jnp.zeros((nlist,), jnp.int32).at[labels].add(1)
+    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
+    cap = int(jnp.max(counts))
+
+    X_sorted = X[order]
+    ids_sorted = order.astype(jnp.int32)
+    # pad the tail so dynamic slices of length `cap` never run off the end
+    pad = cap
+    X_sorted = jnp.concatenate([X_sorted, jnp.zeros((pad, d), X.dtype)], axis=0)
+    ids_sorted = jnp.concatenate([ids_sorted, jnp.full((pad,), -1, jnp.int32)])
+    del labels_sorted
+    return IVFIndex(centroids, X_sorted, ids_sorted, offsets, counts, cap)
+
+
+@jax.jit
+def _assign_blockwise(X, centroids, block: int = 4096):
+    n = X.shape[0]
+    n_pad = -(-n // block) * block
+    Xp = jnp.zeros((n_pad, X.shape[1]), X.dtype).at[:n].set(X)
+    c_norm = jnp.sum(centroids * centroids, axis=-1)
+
+    def process(b):
+        Xb = lax.dynamic_slice_in_dim(Xp, b * block, block, axis=0)
+        g = jnp.matmul(Xb, centroids.T, preferred_element_type=jnp.float32)
+        D = sq_dists_from_gram(jnp.sum(Xb * Xb, -1), c_norm, g)
+        return jnp.argmin(D, axis=1).astype(jnp.int32)
+
+    return lax.map(process, jnp.arange(n_pad // block)).reshape(-1)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "block", "cap"))
+def _ivf_search_sorted(Q, q_rows, index_arrays, k, nprobe, block, cap):
+    centroids, X_sorted, ids_sorted, offsets, counts = index_arrays
+    nq = Q.shape[0]
+    n_blocks = nq // block
+    c_norm = jnp.sum(centroids * centroids, axis=-1)
+
+    def process(b):
+        Qb = lax.dynamic_slice_in_dim(Q, b * block, block, axis=0)
+        qn = jnp.sum(Qb * Qb, axis=-1)
+        gq = jnp.matmul(Qb, centroids.T, preferred_element_type=jnp.float32)
+        Dc = sq_dists_from_gram(qn, c_norm, gq)  # (block, nlist)
+        # shared probe set for the block: clusters by min query distance
+        score = jnp.min(Dc, axis=0)
+        _, probe = lax.top_k(-score, nprobe)
+
+        rows = lax.dynamic_slice_in_dim(q_rows, b * block, block, axis=0)
+
+        def probe_step(j, carry):
+            best_d, best_i = carry
+            c = probe[j]
+            start = offsets[c]
+            cnt = counts[c]
+            Xc = lax.dynamic_slice_in_dim(X_sorted, start, cap, axis=0)
+            idc = lax.dynamic_slice_in_dim(ids_sorted, start, cap, axis=0)
+            g = jnp.matmul(Qb, Xc.T, preferred_element_type=jnp.float32)
+            D = sq_dists_from_gram(qn, jnp.sum(Xc * Xc, -1), g)
+            invalid = (jnp.arange(cap)[None, :] >= cnt) | (
+                idc[None, :] == rows[:, None]
+            )
+            D = D + MASK_VALUE * invalid.astype(D.dtype)
+            cand_d = jnp.concatenate([best_d, D], axis=1)
+            cand_i = jnp.concatenate(
+                [best_i, jnp.broadcast_to(idc[None, :], D.shape)], axis=1
+            )
+            neg, sel = lax.top_k(-cand_d, k)
+            return -neg, jnp.take_along_axis(cand_i, sel, axis=1)
+
+        init = (
+            jnp.full((block, k), MASK_VALUE, Q.dtype),
+            jnp.full((block, k), -1, jnp.int32),
+        )
+        return lax.fori_loop(0, nprobe, probe_step, init)
+
+    d, i = lax.map(process, jnp.arange(n_blocks))
+    return d.reshape(-1, k), i.reshape(-1, k)
+
+
+def ivf_knn(
+    X: jnp.ndarray,
+    k: int = 15,
+    nprobe: int = 16,
+    n_clusters: int | None = None,
+    index: IVFIndex | None = None,
+    key=None,
+    block: int = 256,
+    exclude_self: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Approximate self-kNN of X through an IVF index.
+
+    Returns (dists, indices) of shape (n, k) in original row order.
+    Pass a prebuilt ``index`` to amortize the build across calls.
+    """
+    n = X.shape[0]
+    if index is None:
+        index = ivf_build(X, n_clusters=n_clusters, key=key)
+
+    # Sort queries by their nearest centroid so blocks share probe sets.
+    q_labels = _assign_blockwise(X, index.centroids)
+    q_order = jnp.argsort(q_labels, stable=True)
+    Qs = X[q_order]
+    q_rows = (
+        q_order.astype(jnp.int32)
+        if exclude_self
+        else jnp.full((n,), -1, jnp.int32)
+    )
+
+    n_pad = -(-n // block) * block
+    if n_pad != n:
+        Qs = jnp.concatenate([Qs, jnp.full((n_pad - n, X.shape[1]), 1e12, X.dtype)])
+        q_rows = jnp.concatenate([q_rows, jnp.full((n_pad - n,), -2, jnp.int32)])
+
+    d, i = _ivf_search_sorted(
+        Qs,
+        q_rows,
+        (index.centroids, index.X_sorted, index.ids_sorted, index.offsets, index.counts),
+        k,
+        nprobe,
+        block,
+        index.cap,
+    )
+    d, i = d[:n], i[:n]
+    # un-sort back to original order
+    inv = jnp.zeros((n,), jnp.int32).at[q_order].set(jnp.arange(n, dtype=jnp.int32))
+    return d[inv], i[inv]

@@ -35,9 +35,12 @@ class KnnConfig:
     precision: str = "highest"
     recall_target: float = 0.95
     block_size: int = 1024
+    # IVF tier (mode="ivf"): coarse-quantization probe search (ops/ivf.py)
+    nprobe: int = 16
+    n_clusters: Optional[int] = None  # None → Faiss-style auto_nlist
 
     def __post_init__(self):
-        if self.mode not in ("exact", "approx"):
+        if self.mode not in ("exact", "approx", "ivf"):
             raise ValueError(f"[TorchDR-TPU] unknown knn mode {self.mode!r}")
         if self.precision not in ("highest", "high", "default"):
             raise ValueError(f"[TorchDR-TPU] unknown knn precision {self.precision!r}")
@@ -55,3 +58,5 @@ class KnnConfig:
 EXACT = KnnConfig()
 #: Preset: fast tier — ~99% recall at a fraction of the selection cost.
 FAST = KnnConfig(mode="approx", precision="high", recall_target=0.95)
+#: Preset: IVF tier — Faiss-IVFFlat role; ~99.9% recall on clustered data.
+IVF = KnnConfig(mode="ivf", precision="high")
