@@ -58,6 +58,9 @@ def ivf_build(
     nlist = n_clusters or auto_nlist(n)
     key = key if key is not None else jax.random.PRNGKey(0)
 
+    # Faiss guidance: ≥39 training points per centroid; thin samples give
+    # bad coarse quantizers and tank recall.
+    train_size = min(n, max(train_size, 64 * nlist))
     train = X if n <= train_size else jax.random.choice(key, X, (train_size,), replace=False)
     centroids, _, _ = kmeans_fit(train, nlist, key, max_iter=kmeans_iters)
 
@@ -101,14 +104,30 @@ def _ivf_search_sorted(Q, q_rows, index_arrays, k, nprobe, block, cap):
     n_blocks = nq // block
     c_norm = jnp.sum(centroids * centroids, axis=-1)
 
+    nlist = centroids.shape[0]
+    per_query_probes = max(2, nprobe // 2)
+
     def process(b):
         Qb = lax.dynamic_slice_in_dim(Q, b * block, block, axis=0)
         qn = jnp.sum(Qb * Qb, axis=-1)
         gq = jnp.matmul(Qb, centroids.T, preferred_element_type=jnp.float32)
         Dc = sq_dists_from_gram(qn, c_norm, gq)  # (block, nlist)
-        # shared probe set for the block: clusters by min query distance
-        score = jnp.min(Dc, axis=0)
-        _, probe = lax.top_k(-score, nprobe)
+        # Shared probe set for the block by per-query voting: each query
+        # nominates its own nearest clusters, the block probes the most
+        # nominated ones (covers every query's true cells far better than a
+        # min-distance score when the block straddles several cells).
+        _, nom = lax.top_k(-Dc, per_query_probes)  # (block, p)
+        # rank-weighted votes: a query's nearest cells count most, so every
+        # query's top cell reliably makes the probe set
+        weights = 1.0 / (1.0 + jnp.arange(per_query_probes, dtype=jnp.float32))
+        votes = (
+            jnp.zeros((nlist,), jnp.float32)
+            .at[nom.reshape(-1)]
+            .add(jnp.broadcast_to(weights[None, :], nom.shape).reshape(-1))
+        )
+        # tie-break by distance: closer clusters win among equal votes
+        score = votes - jnp.min(Dc, axis=0) / (1e12)
+        _, probe = lax.top_k(score, nprobe)
 
         rows = lax.dynamic_slice_in_dim(q_rows, b * block, block, axis=0)
 
