@@ -34,7 +34,7 @@ for nprobe in [8, 16]:
     print(f"ivf search nprobe={nprobe}: {time.perf_counter()-t0:.2f}s", flush=True)
     i_ivf = np.asarray(i[:1000])
 
-d_t, i_t = knn_graph(X[:1000], X, k=16, exclude_diag=False, precision="high")
+d_t, i_t = knn_graph(X[:1000], X, k=16, exclude_diag=False, precision="highest")
 i_t = np.asarray(i_t)
 i_true = np.stack([row[row != r][:15] for r, row in zip(range(1000), i_t)])
 rec = np.mean([len(set(i_ivf[j]) & set(i_true[j])) / 15 for j in range(1000)])

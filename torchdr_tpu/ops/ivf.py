@@ -138,7 +138,12 @@ def _ivf_search_sorted(Q, q_rows, index_arrays, k, nprobe, block, cap):
             cnt = counts[c]
             Xc = lax.dynamic_slice_in_dim(X_sorted, start, cap, axis=0)
             idc = lax.dynamic_slice_in_dim(ids_sorted, start, cap, axis=0)
-            g = jnp.matmul(Qb, Xc.T, preferred_element_type=jnp.float32)
+            # fine ranking needs exact f32: bf16 gram error exceeds the
+            # neighbor spacing at high-dim scale and scrambles the top-k
+            g = jnp.matmul(
+                Qb, Xc.T, preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            )
             D = sq_dists_from_gram(qn, jnp.sum(Xc * Xc, -1), g)
             invalid = (jnp.arange(cap)[None, :] >= cnt) | (
                 idc[None, :] == rows[:, None]
