@@ -39,6 +39,8 @@ from .eval import (
     silhouette_score,
 )
 from .models import (
+    NegativeSamplingNeighborEmbedding,
+    NeighborEmbedding,
     ExactIncrementalPCA,
     IncrementalPCA,
     COSNE,
@@ -54,6 +56,8 @@ from .models import (
     UMAP,
 )
 from .ops import (
+    binary_search,
+    false_position,
     EXACT,
     FAST,
     IVF,
@@ -69,7 +73,8 @@ __all__ = [
     "Affinity", "LogAffinity", "SparseAffinity", "SparseLogAffinity",
     "EntropicAffinity", "NormalizedGaussianAffinity", "NormalizedStudentAffinity",
     "SinkhornAffinity", "SymmetricEntropicAffinity",
-    "AffinityMatcher", "DRModule",
+    "AffinityMatcher", "DRModule", "NeighborEmbedding", "NegativeSamplingNeighborEmbedding",
+    "binary_search", "false_position",
     "silhouette_samples", "silhouette_score", "knn_label_accuracy",
     "knn_recall", "neighborhood_preservation", "kmeans_ari", "adjusted_rand_index",
     "PCA", "SNE", "TSNE", "UMAP", "LargeVis", "InfoTSNE", "TSNEkhorn", "PACMAP", "COSNE", "KernelPCA", "PHATE", "IncrementalPCA", "ExactIncrementalPCA",
