@@ -127,3 +127,43 @@ class TestDistributedSymmetrize:
         d1 = np.asarray(sparse_to_dense(v1, i1, n))
         d2 = np.asarray(sparse_to_dense(v2, i2, n))
         assert np.abs(d1 - d2).max() < 1e-5
+
+
+@needs_8
+class TestDistributedNegativeSampling:
+    def test_largevis_distributed_quality(self, mesh):
+        from sklearn.datasets import make_moons
+
+        X, y = make_moons(n_samples=96, noise=0.05, random_state=0)
+        X = X.astype(np.float32)
+        Z = tdr.LargeVis(
+            perplexity=15, max_iter=300, random_state=0, distributed=True, mesh=mesh
+        ).fit_transform(X)
+        assert tdr.silhouette_score(Z, y) > 0.15
+
+    def test_infotsne_distributed_runs(self, mesh):
+        from sklearn.datasets import make_moons
+
+        X, y = make_moons(n_samples=96, noise=0.05, random_state=0)
+        X = X.astype(np.float32)
+        Z = tdr.InfoTSNE(
+            perplexity=15, n_negatives=40, max_iter=100, random_state=0,
+            distributed=True, mesh=mesh,
+        ).fit_transform(X)
+        assert np.isfinite(np.asarray(Z)).all()
+
+
+@needs_8
+class TestSingleDeviceMesh:
+    def test_mesh_of_one(self):
+        from sklearn.datasets import make_moons
+
+        from torchdr_tpu.parallel import make_mesh
+
+        X, y = make_moons(n_samples=64, noise=0.05, random_state=0)
+        X = X.astype(np.float32)
+        mesh1 = make_mesh(1)
+        Z = tdr.UMAP(
+            n_neighbors=10, max_iter=50, random_state=0, distributed=True, mesh=mesh1
+        ).fit_transform(X)
+        assert np.isfinite(np.asarray(Z)).all()
