@@ -10,7 +10,7 @@ static-shape sort/merge pass in ops/sparse.py.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple, Union
+from typing import Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -8,8 +8,6 @@ P = [f ⊕ f − C]₊ / ε.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax import lax

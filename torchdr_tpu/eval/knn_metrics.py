@@ -10,8 +10,6 @@ per-chunk with XLA collectives.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 
 from ..ops.distance import knn_graph

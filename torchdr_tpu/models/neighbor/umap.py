@@ -17,7 +17,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...affinity.knn_normalized import UMAPAffinity
-from ...ops.distance import pairwise_distances_indexed
 from .base import NegativeSamplingNeighborEmbedding
 
 

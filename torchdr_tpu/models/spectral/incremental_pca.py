@@ -18,7 +18,7 @@ slices — the DataLoader analog of reference incremental_pca.py:484-559.
 from __future__ import annotations
 
 import functools
-from typing import Any, Iterable, Optional, Union
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ matmuls per cell (see ops/reduce.py for the math).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

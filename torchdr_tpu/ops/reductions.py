@@ -9,7 +9,7 @@ KeOps provided live in ``ops/reduce.py`` instead.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple, Union
+from typing import Tuple, Union
 
 import jax.numpy as jnp
 from jax import lax

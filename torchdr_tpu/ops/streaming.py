@@ -10,7 +10,7 @@ full dataset at once. Self-matches are removed with the k+1/strip trick
 
 from __future__ import annotations
 
-from typing import Iterable, Optional, Tuple
+from typing import Iterable, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -15,13 +15,12 @@ base.py:160-211) and adds the memory-scaled tier the reference lacks:
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from ..ops.metrics import MASK_VALUE, check_metric, pairwise_block

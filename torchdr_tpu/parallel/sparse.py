@@ -18,7 +18,6 @@ what large-n multi-chip fits should use.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

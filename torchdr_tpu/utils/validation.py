@@ -7,8 +7,6 @@ check becomes a dense-vs-blockwise/Pallas consistency check.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 
