@@ -155,3 +155,44 @@ class TestQuadratic:
         assert np.abs(P - P.T).max() < 1e-5
         assert np.abs(P.sum(1) - 1.0).max() < 5e-2
         assert (P >= 0).all()
+
+
+class TestConsistency:
+    def test_dense_sparse_entropic_support(self, X):
+        # the dense-vs-sparse consistency check (replaces the reference's
+        # torch-vs-keops check, validation.py:31-85): sparse values must
+        # match a dense calibration restricted to the same support
+        from torchdr_tpu.affinity import EntropicAffinity
+        from torchdr_tpu.utils.validation import check_similarity_dense_sparse
+        from torchdr_tpu.affinity.entropic import solve_entropic_affinity
+        from torchdr_tpu.ops.distance import knn_graph
+        import jax.numpy as jnp
+
+        k = 30
+        C, idx = knn_graph(jnp.asarray(X), k=k)
+        log_P, _ = solve_entropic_affinity(C, 10.0)
+        vals, idx2 = EntropicAffinity(perplexity=10, sparsity=True)(
+            X, log=False, return_indices=True
+        )
+        assert np.array_equal(np.asarray(idx), np.asarray(idx2))
+        # rebuild a dense matrix from the solver output and compare support
+        dense = np.zeros((X.shape[0], X.shape[0]), np.float32)
+        rows = np.arange(X.shape[0])[:, None]
+        dense[rows, np.asarray(idx)] = np.exp(np.asarray(log_P))
+        check_similarity_dense_sparse(dense, vals, idx2, tol=1e-5)
+
+
+class TestDeterminism:
+    def test_umap_same_seed_identical(self, X):
+        import torchdr_tpu as tdr
+
+        Z1 = tdr.UMAP(n_neighbors=10, max_iter=50, random_state=7).fit_transform(X)
+        Z2 = tdr.UMAP(n_neighbors=10, max_iter=50, random_state=7).fit_transform(X)
+        assert np.allclose(np.asarray(Z1), np.asarray(Z2), atol=1e-6)
+
+    def test_umap_different_seed_differs(self, X):
+        import torchdr_tpu as tdr
+
+        Z1 = tdr.UMAP(n_neighbors=10, max_iter=50, random_state=1, init="normal").fit_transform(X)
+        Z2 = tdr.UMAP(n_neighbors=10, max_iter=50, random_state=2, init="normal").fit_transform(X)
+        assert not np.allclose(np.asarray(Z1), np.asarray(Z2), atol=1e-3)
