@@ -1,0 +1,37 @@
+"""Smoke tests for the driver entry points (CPU)."""
+
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+
+def test_entry_compiles_and_runs():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert np.asarray(out).shape == (256, 2)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_dryrun_multichip_8():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_bench_importable():
+    # the bench module must import and expose the child runner without
+    # touching the TPU (actual runs happen in subprocesses)
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench", "/root/repo/bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert callable(mod._run_child)
+    assert mod.N == 1_000_000
