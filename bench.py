@@ -109,7 +109,7 @@ def main():
         f"[bench] ivf(nlist={NLIST}, nprobe={NPROBE}) build={result['build_s']:.1f}s "
         f"search={search_s:.2f}s recall@{K}={result['recall']:.4f} "
         f"| B200 Faiss: Flat {B200_FLAT_S}s@100%, IVF {B200_IVF_S}s@99.9% "
-        f"| UMAP-60k×784 e2e: 38.2s (see docs/ROUND1_STATUS.md)",
+        f"| UMAP-60k×784 e2e: 29.6s (see docs/ROUND2_PLAN.md)",
         file=sys.stderr,
     )
     print(json.dumps({

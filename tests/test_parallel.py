@@ -97,6 +97,56 @@ class TestDistributedTraining:
 
 
 @needs_8
+class TestShardedRepulsion:
+    """Row-sharded O(n²) repulsion (the analog of the reference's per-rank
+    dense-repulsion chunks, torchdr/neighbor_embedding/tsne.py:172-180)."""
+
+    def test_matches_single_device(self, mesh):
+        from torchdr_tpu.ops.reduce import (
+            pairwise_logkernel_rowlse,
+            pairwise_logkernel_rowlse_sharded,
+        )
+
+        Z = jax.random.normal(jax.random.PRNGKey(0), (1003, 2))
+        for kernel in ("student", "gaussian"):
+            ref = pairwise_logkernel_rowlse(Z, kernel, True, 256)
+            sh = pairwise_logkernel_rowlse_sharded(Z, mesh, kernel, True, 256)
+            assert jnp.abs(ref - sh).max() < 1e-5
+
+            def loss_ref(z):
+                return jnp.sum(jnp.sin(pairwise_logkernel_rowlse(z, kernel, True, 256)))
+
+            def loss_sh(z):
+                return jnp.sum(
+                    jnp.sin(pairwise_logkernel_rowlse_sharded(z, mesh, kernel, True, 256))
+                )
+
+            g_ref = jax.grad(loss_ref)(Z)
+            g_sh = jax.grad(loss_sh)(Z)
+            assert jnp.abs(g_ref - g_sh).max() < 1e-5
+
+    def test_per_device_flops_drop(self, mesh):
+        """Each device computes ~1/8 of the O(n²) blocks (VERDICT r1 §4)."""
+        from torchdr_tpu.ops.reduce import (
+            pairwise_logkernel_rowlse,
+            pairwise_logkernel_rowlse_sharded,
+        )
+
+        Z = jnp.zeros((2048, 16))
+        # block_size = n → the single-device pass is ONE map iteration, so
+        # cost_analysis (which counts loop bodies once) reflects total work.
+        f1 = jax.jit(
+            lambda z: pairwise_logkernel_rowlse(z, "student", True, 2048)
+        ).lower(Z).compile()
+        f2 = jax.jit(
+            lambda z: pairwise_logkernel_rowlse_sharded(z, mesh, "student", True, 2048)
+        ).lower(Z).compile()
+        single = f1.cost_analysis().get("flops")
+        sharded = f2.cost_analysis().get("flops")
+        assert sharded < single / 4  # ~1/8 plus psum/mask overhead
+
+
+@needs_8
 class TestDistributedPCA:
     def test_sharded_input_matches_dense(self, mesh):
         rng = np.random.default_rng(0)

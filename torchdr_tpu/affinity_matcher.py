@@ -419,6 +419,9 @@ class AffinityMatcher(DRModule):
             return coeff, lr_t, hyper, in_ee
 
         mesh = self._resolve_mesh()
+        # Expose the active mesh to loss/gradient hooks so mesh-aware ops
+        # (e.g. the row-sharded O(n²) repulsion) can shard their work.
+        self._fit_mesh_ = mesh
         if mesh is not None:
             self.logger.info(
                 f"SPMD training over {mesh.devices.size} devices "

@@ -18,9 +18,24 @@ from jax.scipy.special import logsumexp
 
 from ...affinity.entropic import EntropicAffinity
 from ...ops.distance import pairwise_distances_indexed
-from ...ops.reduce import pairwise_logkernel_rowlse
+from ...ops.reduce import (
+    pairwise_logkernel_rowlse,
+    pairwise_logkernel_rowlse_sharded,
+)
 from ...ops.reductions import cross_entropy_loss
 from .base import NeighborEmbedding
+
+
+def _rowlse_maybe_sharded(model, Z, kernel):
+    """Row-lse of the output kernel; row-sharded over the fit mesh when one
+    is active (the analog of the reference's per-rank row chunks + loss /
+    world_size, torchdr/neighbor_embedding/tsne.py:172-180)."""
+    mesh = getattr(model, "_fit_mesh_", None)
+    if mesh is not None:
+        return pairwise_logkernel_rowlse_sharded(
+            Z, mesh, kernel, True, model.block_size
+        )
+    return pairwise_logkernel_rowlse(Z, kernel, True, model.block_size)
 
 
 class TSNE(NeighborEmbedding):
@@ -107,8 +122,9 @@ class TSNE(NeighborEmbedding):
 
     def _repulsive_loss(self, Z, consts, carry, it, key):
         """Global logsumexp over the full pairwise student kernel
-        (reference: tsne.py:172-180) — blockwise, O(block·n) memory."""
-        row_lse = pairwise_logkernel_rowlse(Z, "student", True, self.block_size)
+        (reference: tsne.py:172-180) — blockwise, O(block·n) memory,
+        row-sharded over the mesh when fitting distributed."""
+        row_lse = _rowlse_maybe_sharded(self, Z, "student")
         return logsumexp(row_lse), carry
 
 
@@ -192,5 +208,5 @@ class SNE(NeighborEmbedding):
         return cross_entropy_loss(consts["P"], -D, log=True), carry
 
     def _repulsive_loss(self, Z, consts, carry, it, key):
-        row_lse = pairwise_logkernel_rowlse(Z, "gaussian", True, self.block_size)
+        row_lse = _rowlse_maybe_sharded(self, Z, "gaussian")
         return jnp.sum(row_lse) / consts["n"], carry

@@ -67,7 +67,8 @@ def _kernel_val(sq, kernel):
 
 
 def _fwd_kernel(
-    zq_ref, zdb_ref, out_ref, s_ref, *, kernel, exclude_diag, q_tile, db_tile, n
+    off_ref, zq_ref, zdb_ref, out_ref, s_ref, *,
+    kernel, exclude_diag, q_tile, db_tile, n,
 ):
     qi = pl.program_id(0)
     dj = pl.program_id(1)
@@ -79,7 +80,11 @@ def _fwd_kernel(
     sq = _sq_block(zq_ref[:], zdb_ref[:])
     q = _kernel_val(sq, kernel)
 
-    rows = qi * q_tile + jax.lax.broadcasted_iota(jnp.int32, q.shape, 0)
+    # global row ids: the query block may be a row shard of Z living at
+    # offset off_ref[0] (shard_map over the mesh — the analog of the
+    # reference's per-rank row chunks, torchdr/neighbor_embedding/
+    # tsne.py:172-180)
+    rows = off_ref[0] + qi * q_tile + jax.lax.broadcasted_iota(jnp.int32, q.shape, 0)
     cols = dj * db_tile + jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
     invalid = (rows >= n) | (cols >= n)
     if exclude_diag:
@@ -95,8 +100,59 @@ def _fwd_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kernel", "exclude_diag", "q_tile", "db_tile", "interpret"),
+    static_argnames=("n_total", "kernel", "exclude_diag", "q_tile", "db_tile", "interpret"),
 )
+def rowlse_fwd_pallas_general(
+    Zq: jnp.ndarray,
+    Zdb: jnp.ndarray,
+    row_offset,
+    n_total: int,
+    kernel: str = "student",
+    exclude_diag: bool = True,
+    q_tile: int = 512,
+    db_tile: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Row-lse of log k(‖zq_i − zdb_j‖²) for a query row-shard of Z.
+
+    ``Zq`` are rows [row_offset, row_offset + m) of the global matrix whose
+    first ``n_total`` rows are valid; ``Zdb`` is the full matrix. Rows and
+    columns with global ids ≥ n_total are masked. ``row_offset`` may be a
+    traced scalar (e.g. ``axis_index · chunk`` inside shard_map).
+    """
+    m, d = Zq.shape
+    n_db = Zdb.shape[0]
+    q_tile = min(q_tile, max(8, m))
+    db_tile = min(db_tile, max(128, n_db))
+    g_q = -(-m // q_tile)
+    g_db = -(-n_db // db_tile)
+    Zqp = jnp.zeros((g_q * q_tile, d), Zq.dtype).at[:m].set(Zq)
+    Zdbp = jnp.zeros((g_db * db_tile, d), Zdb.dtype).at[:n_db].set(Zdb)
+    off = jnp.asarray(row_offset, jnp.int32).reshape((1,))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel,
+            kernel=kernel,
+            exclude_diag=exclude_diag,
+            q_tile=q_tile,
+            db_tile=db_tile,
+            n=n_total,
+        ),
+        grid=(g_q, g_db),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((q_tile, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((db_tile, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((q_tile, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g_q * q_tile, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((q_tile, 1), jnp.float32)],
+        interpret=interpret,
+    )(off, Zqp, Zdbp)
+    return out[:m, 0]
+
+
 def rowlse_fwd_pallas(
     Z: jnp.ndarray,
     kernel: str = "student",
@@ -106,38 +162,14 @@ def rowlse_fwd_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Row-wise logsumexp of log k(‖z_i − z_j‖²) — fused, VMEM-resident."""
-    n, d = Z.shape
-    q_tile = min(q_tile, max(8, n))
-    db_tile = min(db_tile, max(128, n))
-    n_q = -(-n // q_tile)
-    n_db = -(-n // db_tile)
-    Zq = jnp.zeros((n_q * q_tile, d), Z.dtype).at[:n].set(Z)
-    Zdb = jnp.zeros((n_db * db_tile, d), Z.dtype).at[:n].set(Z)
-
-    out = pl.pallas_call(
-        functools.partial(
-            _fwd_kernel,
-            kernel=kernel,
-            exclude_diag=exclude_diag,
-            q_tile=q_tile,
-            db_tile=db_tile,
-            n=n,
-        ),
-        grid=(n_q, n_db),
-        in_specs=[
-            pl.BlockSpec((q_tile, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((db_tile, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((q_tile, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_q * q_tile, 1), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((q_tile, 1), jnp.float32)],
-        interpret=interpret,
-    )(Zq, Zdb)
-    return out[:n, 0]
+    n = Z.shape[0]
+    return rowlse_fwd_pallas_general(
+        Z, Z, 0, n, kernel, exclude_diag, q_tile, db_tile, interpret
+    )
 
 
 def _bwd_kernel(
-    zq_ref, zdb_ref, lse_ref, g_ref, dzq_ref, dzdb_ref, acc_q_ref, *,
+    off_ref, zq_ref, zdb_ref, lse_ref, g_ref, dzq_ref, dzdb_ref, acc_q_ref, *,
     kernel, exclude_diag, q_tile, db_tile, n
 ):
     qi = pl.program_id(0)
@@ -152,7 +184,7 @@ def _bwd_kernel(
     sq = _sq_block(zq, zdb)
     q = _kernel_val(sq, kernel)
 
-    rows = qi * q_tile + jax.lax.broadcasted_iota(jnp.int32, q.shape, 0)
+    rows = off_ref[0] + qi * q_tile + jax.lax.broadcasted_iota(jnp.int32, q.shape, 0)
     cols = dj * db_tile + jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
     invalid = (rows >= n) | (cols >= n)
     if exclude_diag:
@@ -193,10 +225,13 @@ def _bwd_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kernel", "exclude_diag", "q_tile", "db_tile", "interpret"),
+    static_argnames=("n_total", "kernel", "exclude_diag", "q_tile", "db_tile", "interpret"),
 )
-def rowlse_bwd_pallas(
-    Z: jnp.ndarray,
+def rowlse_bwd_pallas_general(
+    Zq: jnp.ndarray,
+    Zdb: jnp.ndarray,
+    row_offset,
+    n_total: int,
     row_lse: jnp.ndarray,
     g: jnp.ndarray,
     kernel: str = "student",
@@ -204,17 +239,26 @@ def rowlse_bwd_pallas(
     q_tile: int = 512,
     db_tile: int = 1024,
     interpret: bool = False,
-) -> jnp.ndarray:
-    n, d = Z.shape
-    q_tile = min(q_tile, max(8, n))
-    db_tile = min(db_tile, max(128, n))
-    n_q = -(-n // q_tile)
-    n_db = -(-n // db_tile)
-    Zq = jnp.zeros((n_q * q_tile, d), Z.dtype).at[:n].set(Z)
-    Zdb = jnp.zeros((n_db * db_tile, d), Z.dtype).at[:n].set(Z)
+):
+    """Backward for a query row-shard: returns (dZq (m,d), dZdb (n_db,d)).
+
+    ``row_lse`` / ``g`` are the forward output / cotangent for the shard's
+    rows. The caller combines: dZ = scatter(dZq at row_offset) + dZdb
+    (psum over the mesh in the sharded case — the reference's gradient
+    all-reduce, torchdr/affinity_matcher.py:424-425).
+    """
+    m, d = Zq.shape
+    n_db = Zdb.shape[0]
+    q_tile = min(q_tile, max(8, m))
+    db_tile = min(db_tile, max(128, n_db))
+    g_q = -(-m // q_tile)
+    g_db = -(-n_db // db_tile)
+    Zqp = jnp.zeros((g_q * q_tile, d), Zq.dtype).at[:m].set(Zq)
+    Zdbp = jnp.zeros((g_db * db_tile, d), Zdb.dtype).at[:n_db].set(Zdb)
     g_over_S = g * jnp.exp(-row_lse)
-    lse = jnp.full((n_q * q_tile, 1), 0.0, jnp.float32).at[:n, 0].set(row_lse)
-    gq = jnp.zeros((n_q * q_tile, 1), jnp.float32).at[:n, 0].set(g_over_S)
+    lse = jnp.full((g_q * q_tile, 1), 0.0, jnp.float32).at[:m, 0].set(row_lse)
+    gq = jnp.zeros((g_q * q_tile, 1), jnp.float32).at[:m, 0].set(g_over_S)
+    off = jnp.asarray(row_offset, jnp.int32).reshape((1,))
 
     dzq, dzdb = pl.pallas_call(
         functools.partial(
@@ -223,10 +267,11 @@ def rowlse_bwd_pallas(
             exclude_diag=exclude_diag,
             q_tile=q_tile,
             db_tile=db_tile,
-            n=n,
+            n=n_total,
         ),
-        grid=(n_q, n_db),
+        grid=(g_q, g_db),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((q_tile, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((db_tile, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((q_tile, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -237,12 +282,28 @@ def rowlse_bwd_pallas(
             pl.BlockSpec((1, db_tile, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_q * q_tile, d), jnp.float32),
-            jax.ShapeDtypeStruct((n_q, n_db * db_tile, d), jnp.float32),
+            jax.ShapeDtypeStruct((g_q * q_tile, d), jnp.float32),
+            jax.ShapeDtypeStruct((g_q, g_db * db_tile, d), jnp.float32),
         ),
         scratch_shapes=[pltpu.VMEM((q_tile, d), jnp.float32)],
         interpret=interpret,
-    )(Zq, Zdb, lse, gq)
+    )(off, Zqp, Zdbp, lse, gq)
 
-    dZ = dzq[:n] + jnp.sum(dzdb, axis=0)[:n]
-    return dZ
+    return dzq[:m], jnp.sum(dzdb, axis=0)[:n_db]
+
+
+def rowlse_bwd_pallas(
+    Z: jnp.ndarray,
+    row_lse: jnp.ndarray,
+    g: jnp.ndarray,
+    kernel: str = "student",
+    exclude_diag: bool = True,
+    q_tile: int = 512,
+    db_tile: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    n = Z.shape[0]
+    dzq, dzdb = rowlse_bwd_pallas_general(
+        Z, Z, 0, n, row_lse, g, kernel, exclude_diag, q_tile, db_tile, interpret
+    )
+    return dzdb.at[:n].add(dzq)

@@ -23,7 +23,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from ..ops.sparse import symmetric_degrees
@@ -137,8 +137,7 @@ def distributed_symmetrize_sparse(
         pos.astype(jnp.int32)
     )
     slot = pos - row_start[jnp.clip(t_rows, 0, n_pad)]
-    width = k  # each row receives at most deg_in ≤ global bound; cap at k per
-    # sender-side uniqueness? In-degree can exceed k — use k_out for safety.
+    # In-degree can exceed k, so the receive matrix is k_out wide.
     width = k_out
     PT_vals = jnp.zeros((n, width), values.dtype)
     PT_idx = jnp.full((n, width), -1, indices.dtype)
