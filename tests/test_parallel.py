@@ -158,6 +158,30 @@ class TestDistributedPCA:
 
 
 @needs_8
+class TestDistributedEval:
+    """Per-chunk kNN metrics over the mesh (reference: torchdr/eval/
+    knn_labels.py:54-64, eval/neighborhood_preservation.py:51-62)."""
+
+    def test_knn_label_accuracy_matches(self, mesh, toy_blobs):
+        X, y = toy_blobs
+        a1 = tdr.knn_label_accuracy(X, y, k=10)
+        a2 = tdr.knn_label_accuracy(X, y, k=10, mesh=mesh)
+        assert a1 == pytest.approx(a2, abs=1e-6)
+
+    def test_neighborhood_preservation_matches(self, mesh, toy_blobs):
+        X, y = toy_blobs
+        Z = tdr.PCA(n_components=2).fit_transform(X)
+        p1 = tdr.neighborhood_preservation(X, Z, K=10)
+        p2 = tdr.neighborhood_preservation(X, Z, K=10, mesh=mesh)
+        assert p1 == pytest.approx(p2, abs=1e-6)
+
+    def test_per_sample_shape(self, mesh, toy_blobs):
+        X, y = toy_blobs
+        per = tdr.knn_label_accuracy(X, y, k=5, mesh=mesh, return_per_sample=True)
+        assert per.shape == (X.shape[0],)
+
+
+@needs_8
 class TestDistributedSymmetrize:
     @pytest.mark.parametrize("mode", ["sum", "sum_minus_prod"])
     def test_matches_single_device(self, mesh, mode):

@@ -3,9 +3,11 @@
 TPU-native counterparts of the reference's eval package
 (reference: torchdr/eval/knn_labels.py:17-196,
 torchdr/eval/neighborhood_preservation.py:17-187). Both run on the
-from-scratch kNN graph (ops/distance.py) — no Faiss. For mesh execution,
-shard the inputs by rows (torchdr_tpu.parallel) and the same code runs
-per-chunk with XLA collectives.
+from-scratch kNN graph (ops/distance.py) — no Faiss. Pass ``mesh`` for the
+distributed per-chunk variant (reference: eval/knn_labels.py:54-64,
+eval/neighborhood_preservation.py:51-62): the kNN build row-shards the
+queries over the mesh via shard_map and the per-sample scores stay
+row-sharded until the final mean — no gather of the full graph.
 """
 
 from __future__ import annotations
@@ -16,6 +18,18 @@ from ..ops.distance import knn_graph
 from ..utils.wrappers import to_jax
 
 
+def _knn_indices(X, k, metric, exclude_diag, mesh):
+    if mesh is not None:
+        from ..parallel.knn import knn_graph_sharded
+
+        _, idx = knn_graph_sharded(
+            X, k, mesh, metric=metric, exclude_diag=exclude_diag
+        )
+        return idx
+    _, idx = knn_graph(X, k=k, metric=metric, exclude_diag=exclude_diag)
+    return idx
+
+
 def knn_label_accuracy(
     X,
     labels,
@@ -23,11 +37,12 @@ def knn_label_accuracy(
     metric: str = "euclidean",
     exclude_self: bool = True,
     return_per_sample: bool = False,
+    mesh=None,
 ):
     """Fraction of each point's k nearest neighbors sharing its label."""
     X, _ = to_jax(X)
     labels = jnp.asarray(labels)
-    _, idx = knn_graph(X, k=k, metric=metric, exclude_diag=exclude_self)
+    idx = _knn_indices(X, k, metric, exclude_self, mesh)
     same = (labels[idx] == labels[:, None]).astype(jnp.float32)
     per_sample = jnp.mean(same, axis=1)
     return per_sample if return_per_sample else float(jnp.mean(per_sample))
@@ -39,6 +54,7 @@ def neighborhood_preservation(
     K: int,
     metric: str = "euclidean",
     return_per_sample: bool = False,
+    mesh=None,
 ):
     """K-ary neighborhood overlap between input X and embedding Z.
 
@@ -46,8 +62,8 @@ def neighborhood_preservation(
     """
     X, _ = to_jax(X)
     Z, _ = to_jax(Z)
-    _, idx_X = knn_graph(X, k=K, metric=metric, exclude_diag=True)
-    _, idx_Z = knn_graph(Z, k=K, metric=metric, exclude_diag=True)
+    idx_X = _knn_indices(X, K, metric, True, mesh)
+    idx_Z = _knn_indices(Z, K, metric, True, mesh)
     # vectorized membership: broadcast compare (n, K, K); fine at eval-scale K
     member = jnp.any(idx_Z[:, :, None] == idx_X[:, None, :], axis=2)
     per_sample = jnp.sum(member, axis=1).astype(jnp.float32) / K

@@ -3,8 +3,8 @@
 TPU-native COSNE (reference: torchdr/neighbor_embedding/cosne.py:16-193).
 Cauchy kernel in hyperbolic space, norm-preservation term, optimized with
 the functional RiemannianAdam (expmap retraction + momentum transport)
-inside the compiled loop. The O(n²) hyperbolic repulsion is a dense pass
-(hyperbolic distances are norm-dominated; n for COSNE use-cases is modest).
+inside the compiled loop. The O(n²) hyperbolic repulsion streams block-wise
+with per-tile rematerialization (ops/reduce.py) — bounded memory at any n.
 """
 
 from __future__ import annotations
@@ -15,7 +15,8 @@ import jax.numpy as jnp
 from jax.scipy.special import logsumexp
 
 from ...affinity.entropic import EntropicAffinity
-from ...ops.distance import pairwise_distances, pairwise_distances_indexed
+from ...ops.distance import pairwise_distances_indexed
+from ...ops.reduce import pairwise_logkernel_rowlse_autodiff
 from ...ops.reductions import cross_entropy_loss
 from .base import NeighborEmbedding
 
@@ -51,11 +52,13 @@ class COSNE(NeighborEmbedding):
         check_interval: int = 50,
         knn_mode: str = "exact",
         knn_precision: str = "highest",
+        block_size: int = 1024,
         **kwargs,
     ):
         self.perplexity = perplexity
         self.learning_rate_for_h_loss = learning_rate_for_h_loss
         self.gamma = gamma
+        self.block_size = block_size
         self.metric = metric
         self.max_iter_affinity = max_iter_affinity
         self.sparsity = sparsity
@@ -113,9 +116,18 @@ class COSNE(NeighborEmbedding):
         return cross_entropy_loss(consts["P"], log_Q, log=True), carry
 
     def _repulsive_loss(self, Z, consts, carry, it, key):
-        D, _ = pairwise_distances(Z, metric="sqhyperbolic", exclude_diag=True)
-        log_Q = jnp.log(self.gamma / (D + self.gamma**2))
-        rep = logsumexp(log_Q)
+        # blockwise hyperbolic Cauchy repulsion: O(block·n) memory in both
+        # passes via per-tile rematerialization (reference streams this
+        # through KeOps, torchdr/distance/keops.py:17-105)
+        gamma = float(self.gamma)
+        row_lse = pairwise_logkernel_rowlse_autodiff(
+            Z,
+            lambda D: jnp.log(gamma) - jnp.log(D + gamma**2),
+            metric="sqhyperbolic",
+            exclude_diag=True,
+            block_size=self.block_size,
+        )
+        rep = logsumexp(row_lse)
         # hyperbolic distance-to-origin should match the input sq-norm
         Y_norm = jnp.sum(Z * Z, axis=-1)
         # same f32 arccosh-at-1 clamp as ops/metrics.py

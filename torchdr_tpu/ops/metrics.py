@@ -62,7 +62,29 @@ def pairwise_block(
     """
     check_metric(metric)
     if metric == "manhattan":
-        return jnp.sum(jnp.abs(X[:, None, :] - Y[None, :, :]), axis=-1)
+        # no matmul form exists; stream over feature chunks so the live
+        # (q, db, dc) intermediate stays bounded instead of (q, db, d)
+        # (VPU-bound either way — L1 has no MXU mapping)
+        d = X.shape[1]
+        dc = 32
+        if d <= 2 * dc:
+            return jnp.sum(jnp.abs(X[:, None, :] - Y[None, :, :]), axis=-1)
+        n_chunks = -(-d // dc)
+        pad = n_chunks * dc - d
+        Xp = jnp.pad(X, ((0, 0), (0, pad)))
+        Yp = jnp.pad(Y, ((0, 0), (0, pad)))
+
+        def step(acc, c):
+            xc = lax.dynamic_slice_in_dim(Xp, c * dc, dc, axis=1)
+            yc = lax.dynamic_slice_in_dim(Yp, c * dc, dc, axis=1)
+            return acc + jnp.sum(jnp.abs(xc[:, None, :] - yc[None, :, :]), -1), None
+
+        acc, _ = lax.scan(
+            step,
+            jnp.zeros((X.shape[0], Y.shape[0]), jnp.float32),
+            jnp.arange(n_chunks),
+        )
+        return acc
     if metric == "angular":
         return -_gram(X, Y, precision)
 

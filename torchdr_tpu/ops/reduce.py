@@ -313,3 +313,47 @@ pairwise_logkernel_rowlse_sharded.defvjp(_rowlse_sharded_fwd, _rowlse_sharded_bw
 def pairwise_logkernel_logsumexp(Z, kernel="student", exclude_diag=True, block_size=1024):
     """Global log Σ_ij k(‖z_i - z_j‖²) — TSNE's exact repulsion term."""
     return _lse(pairwise_logkernel_rowlse(Z, kernel, exclude_diag, block_size))
+
+
+def pairwise_logkernel_rowlse_autodiff(
+    Z: jnp.ndarray,
+    log_kernel_fn,
+    metric: str = "sqhyperbolic",
+    exclude_diag: bool = True,
+    block_size: int = 1024,
+) -> jnp.ndarray:
+    """Blockwise row-lse for arbitrary metric/kernel, autodiff-friendly.
+
+    Covers the O(n²) reductions the hand-written student/gaussian custom-VJP
+    tier doesn't — e.g. COSNE's hyperbolic Cauchy repulsion (reference: the
+    KeOps LazyTensor path covers every metric lazily, torchdr/distance/
+    keops.py:17-105). Instead of a custom VJP, each (block × n) tile is
+    wrapped in ``jax.checkpoint``: the backward pass *recomputes* the tile,
+    so both passes stay O(block·n) memory — XLA's rematerialization is the
+    TPU-idiomatic answer here.
+
+    ``log_kernel_fn`` maps the pairwise distance block to the log-kernel
+    elementwise (e.g. ``lambda D: jnp.log(g) - jnp.log(D + g**2)``).
+    """
+    from .metrics import pairwise_block
+
+    n = Z.shape[0]
+    block = min(block_size, max(8, n))
+    Zp, _ = _pad_rows(Z, block)
+    n_blocks = Zp.shape[0] // block
+    base = jnp.arange(block)
+    cols = jnp.arange(n)
+
+    @functools.partial(jax.checkpoint, static_argnums=())
+    def block_lse(Zp_in, Z_in, b):
+        rows = b * block + base
+        Zb = lax.dynamic_slice_in_dim(Zp_in, b * block, block, axis=0)
+        D = pairwise_block(Zb, Z_in, metric)
+        logq = log_kernel_fn(D)
+        invalid = rows[:, None] >= n
+        if exclude_diag:
+            invalid = invalid | (rows[:, None] == cols[None, :])
+        return _lse(jnp.where(invalid, -jnp.inf, logq), axis=1)
+
+    out = lax.map(lambda b: block_lse(Zp, Z, b), jnp.arange(n_blocks))
+    return out.reshape(-1)[:n]
