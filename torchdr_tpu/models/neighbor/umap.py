@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -76,6 +77,8 @@ class UMAP(NegativeSamplingNeighborEmbedding):
         knn_precision: str = "highest",
         max_graph_degree: Optional[int] = None,
         discard_NNs: bool = False,
+        shared_negatives: bool = True,
+        n_shared_negatives: Optional[int] = None,
         **kwargs,
     ):
         self.n_neighbors = n_neighbors
@@ -84,6 +87,8 @@ class UMAP(NegativeSamplingNeighborEmbedding):
         self.metric = metric
         self.max_iter_affinity = max_iter_affinity
         self.negative_sample_rate = negative_sample_rate
+        self.shared_negatives = shared_negatives
+        self.n_shared_negatives = n_shared_negatives
         self._eps = 1e-3
 
         if a is None or b is None:
@@ -216,14 +221,61 @@ class UMAP(NegativeSamplingNeighborEmbedding):
         carry = dict(carry, epoch_of_next_sample=eons, active_edges=mask)
         return grad, carry
 
+    def _shared_negative_count(self, n: int) -> int:
+        if self.n_shared_negatives is not None:
+            return int(self.n_shared_negatives)
+        # keep the (n, S) distance block within a sane HBM envelope
+        return 2048 if n <= 300_000 else (1024 if n <= 1_000_000 else 512)
+
     def _repulsive_gradients(self, Z, consts, carry, it, key):
+        # Per-point count of negatives due this step: negative_sample_rate
+        # per fired positive edge (reference: umap.py:266-292).
+        neg_counts = jnp.sum(carry["active_edges"], axis=1) * self.negative_sample_rate
+
+        if self.shared_negatives:
+            # TPU-shaped redesign of the repulsion (NOT a translation): all
+            # points repel against ONE per-step uniform sample of S points,
+            # each weighted by neg_counts_i / S — identical expected force to
+            # per-point sampling, far lower variance (S ≫ rate·k), and the
+            # per-point random gathers (the measured round-1 bottleneck,
+            # ~0.5M 8-byte rows/ms) become two MXU matmuls:
+            #   D = ‖z_i‖² + ‖z_s‖² − 2 Z Zₛᵀ ;  grad = (Σ_s c) z_i − c Zₛ.
+            from ...ops.metrics import sq_dists_from_gram
+            from jax import lax as _lax
+
+            n = consts["n"]
+            S = self._shared_negative_count(int(n))
+            neg = jax.random.randint(key, (S,), 0, n)
+            Zneg = Z[neg]  # (S, d): the only gather, S rows per *step*
+            zn = jnp.sum(Z * Z, axis=-1)
+            nn_norm = jnp.sum(Zneg * Zneg, axis=-1)
+            gram = jnp.matmul(
+                Z, Zneg.T,
+                preferred_element_type=jnp.float32,
+                precision=_lax.Precision.HIGHEST,  # d=2: 6-pass cost is nil
+            )
+            D = sq_dists_from_gram(zn, nn_norm, gram)
+            coef = -2.0 * self._b / (
+                (D + self._eps) * (1.0 + self._a * D**self._b)
+            )
+            coef = jnp.where(
+                neg[None, :] == jnp.arange(Z.shape[0])[:, None], 0.0, coef
+            )
+            coef = coef * (neg_counts.astype(jnp.float32) / S)[:, None]
+            grad = jnp.clip(
+                jnp.sum(coef, axis=1)[:, None] * Z
+                - jnp.matmul(coef, Zneg, preferred_element_type=jnp.float32),
+                -4.0,
+                4.0,
+            )
+            return grad, carry
+
         neg = self._sample_negatives(key, consts)
         diff = Z[:, None, :] - Z[neg]
         D = jnp.sum(diff * diff, axis=-1)
         coef = -2.0 * self._b / ((D + self._eps) * (1.0 + self._a * D**self._b))
 
         # Keep negative_sample_rate negative edges per active positive edge.
-        neg_counts = jnp.sum(carry["active_edges"], axis=1) * self.negative_sample_rate
         col = jnp.arange(self.n_negatives)
         coef = jnp.where(col[None, :] >= neg_counts[:, None], 0.0, coef)
 

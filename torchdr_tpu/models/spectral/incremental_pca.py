@@ -131,6 +131,16 @@ class IncrementalPCA(DRModule):
             raise ValueError("[TorchDR-TPU] ERROR : batch must be 2D.")
         n_samples, n_features = Xb.shape
         first_pass = self.components_ is None
+        if self.n_components > n_features:
+            raise ValueError(
+                f"[TorchDR-TPU] ERROR : n_components={self.n_components} exceeds "
+                f"n_features={n_features}."
+            )
+        if first_pass and n_samples < self.n_components:
+            raise ValueError(
+                f"[TorchDR-TPU] ERROR : first batch has {n_samples} rows, fewer "
+                f"than n_components={self.n_components}."
+            )
         if not first_pass and n_features != self.mean_.shape[0]:
             raise ValueError(
                 f"n_features={self.mean_.shape[0]} while input has {n_features} features"
@@ -293,10 +303,13 @@ class ExactIncrementalPCA(DRModule):
         return self
 
     def fit_transform(self, X, y=None):
-        self._fit_stats(X)
-        outs = [
-            (b - self.mean_) @ self.components_.T for b in _iter_batches(X, self.batch_size)
-        ]
+        # materialize once: X may be a one-shot batch iterator, and the
+        # two-pass algorithm (stats, then projection) must see every batch
+        # twice (reference re-iterates its DataLoader, incremental_pca.py:
+        # 484-559; a generator can't be re-iterated)
+        batches = list(_iter_batches(X, self.batch_size))
+        self._fit_stats(batches)
+        outs = [(b - self.mean_) @ self.components_.T for b in batches]
         self.embedding_ = jnp.asarray(np.concatenate(outs, axis=0).astype(np.float32))
         return np.asarray(self.embedding_)
 
