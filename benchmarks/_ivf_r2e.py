@@ -47,16 +47,15 @@ def main():
         return float(np.mean([len(set(ig[j]) & set(i_true[j])) / K for j in range(SUB)]))
 
     t0 = time.perf_counter()
-    idx = ivf_build(X, n_clusters=1024, kmeans_iters=20)
-    log(step="build", nlist=1024, chunk=int(idx.chunk),
+    idx = ivf_build(X, n_clusters=2048, kmeans_iters=20)
+    log(step="build", nlist=2048, chunk=int(idx.chunk),
         build_s=round(time.perf_counter() - t0, 2))
 
     configs = [
-        dict(nprobe=10, m=32, scan_precision="high"),
-        dict(nprobe=12, m=32, scan_precision="high"),
-        dict(nprobe=16, m=32, scan_precision="high"),
         dict(nprobe=20, m=32, scan_precision="high"),
-        dict(nprobe=16, m=64, scan_precision="high"),
+        dict(nprobe=24, m=32, scan_precision="high"),
+        dict(nprobe=28, m=32, scan_precision="high"),
+        dict(nprobe=32, m=32, scan_precision="high"),
     ]
     for cfg in configs:
         try:

@@ -361,4 +361,58 @@ class TestIVF:
         from torchdr_tpu.ops.ivf import auto_nlist
 
         assert auto_nlist(1_000_000) > 100
-        assert auto_nlist(1000) >= 16
+
+
+class TestPQ:
+    """Product-quantization memory tier (reference role: Faiss IVFPQ,
+    torchdr/distance/faiss.py:113-221; its measured recall band on
+    clustered data is ~20-33%, BENCHMARK_RESULTS.md:11-13,72)."""
+
+    def _data(self, n=6000, d=32):
+        rng = np.random.default_rng(0)
+        centers = rng.normal(scale=10.0, size=(20, d)).astype(np.float32)
+        return jnp.asarray(
+            centers[rng.integers(0, 20, n)]
+            + rng.normal(size=(n, d)).astype(np.float32)
+        )
+
+    def test_roundtrip_shapes_and_compression(self):
+        from torchdr_tpu.ops.pq import pq_encode, pq_train
+
+        X = self._data()
+        cb = pq_train(X[:2000], M=8)
+        codes = pq_encode(X, cb)
+        assert codes.shape == (X.shape[0], 8) and codes.dtype == jnp.uint8
+
+    def test_recall_in_reference_band_and_refine_recovers(self):
+        from torchdr_tpu.ops.pq import pq_knn
+
+        X = self._data()
+        d0, i0 = knn_graph(X, k=10, precision="highest")
+        i0 = np.asarray(i0)
+
+        def recall(i):
+            ig = np.asarray(i)
+            return np.mean(
+                [len(set(ig[j]) & set(i0[j])) / 10 for j in range(1000)]
+            )
+
+        _, i1 = pq_knn(X, k=10, M=8)
+        r_adc = recall(i1)
+        assert r_adc > 0.10  # quantized ranks, reference-band floor
+        _, i2 = pq_knn(X, k=10, M=8, refine_from=X, refine_factor=8)
+        r_ref = recall(i2)
+        assert r_ref > r_adc + 0.1  # refinement recovers real recall
+
+    def test_no_self_matches(self):
+        from torchdr_tpu.ops.pq import pq_knn
+
+        X = self._data(n=2000)
+        _, i = pq_knn(X, k=5, M=8)
+        assert not (np.asarray(i) == np.arange(2000)[:, None]).any()
+
+    def test_indivisible_d_raises(self):
+        from torchdr_tpu.ops.pq import pq_train
+
+        with pytest.raises(ValueError, match="divisible"):
+            pq_train(jnp.zeros((100, 30)), M=8)

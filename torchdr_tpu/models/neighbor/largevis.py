@@ -108,6 +108,15 @@ class LargeVis(_EntropicNegativeSampling):
         return cross_entropy_loss(consts["P"], Q), carry
 
     def _repulsive_loss(self, Z, consts, carry, it, key):
+        if self.shared_negatives:
+            # shared uniform sample, rescaled to n_negatives per point —
+            # same expected loss, MXU matmuls instead of per-point gathers
+            D, valid, _ = self._shared_negative_sqdists(Z, consts, key)
+            Q = 1.0 / (1.0 + D)
+            Q = Q / (Q + 1.0)
+            terms = jnp.where(valid, jnp.log(1.0 - Q), 0.0)
+            scale = self.n_negatives / D.shape[1]
+            return -scale * jnp.sum(terms) / consts["n"], carry
         neg = self._sample_negatives(key, consts)
         D = pairwise_distances_indexed(Z, key_indices=neg, metric="sqeuclidean")
         Q = 1.0 / (1.0 + D)
@@ -144,6 +153,14 @@ class InfoTSNE(_EntropicNegativeSampling):
         return cross_entropy_loss(consts["P"], log_Q, log=True), carry
 
     def _repulsive_loss(self, Z, consts, carry, it, key):
+        if self.shared_negatives:
+            # InfoNCE over a shared negative set; the log(n_negatives/S)
+            # shift keeps the loss on the reference's scale and leaves the
+            # gradient (a softmax over negatives) unchanged
+            D, valid, _ = self._shared_negative_sqdists(Z, consts, key)
+            log_Q = jnp.where(valid, -jnp.log1p(D), -jnp.inf)
+            shift = jnp.log(self.n_negatives / D.shape[1])
+            return jnp.sum(logsumexp(log_Q, axis=1) + shift) / consts["n"], carry
         neg = self._sample_negatives(key, consts)
         D = pairwise_distances_indexed(Z, key_indices=neg, metric="sqeuclidean")
         log_Q = -jnp.log1p(D)

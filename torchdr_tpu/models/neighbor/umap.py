@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Union
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -87,8 +86,6 @@ class UMAP(NegativeSamplingNeighborEmbedding):
         self.metric = metric
         self.max_iter_affinity = max_iter_affinity
         self.negative_sample_rate = negative_sample_rate
-        self.shared_negatives = shared_negatives
-        self.n_shared_negatives = n_shared_negatives
         self._eps = 1e-3
 
         if a is None or b is None:
@@ -136,6 +133,8 @@ class UMAP(NegativeSamplingNeighborEmbedding):
             check_interval=check_interval,
             discard_NNs=discard_NNs,
             n_negatives=int(negative_sample_rate * n_neighbors),
+            shared_negatives=shared_negatives,
+            n_shared_negatives=n_shared_negatives,
             **kwargs,
         )
 
@@ -221,12 +220,6 @@ class UMAP(NegativeSamplingNeighborEmbedding):
         carry = dict(carry, epoch_of_next_sample=eons, active_edges=mask)
         return grad, carry
 
-    def _shared_negative_count(self, n: int) -> int:
-        if self.n_shared_negatives is not None:
-            return int(self.n_shared_negatives)
-        # keep the (n, S) distance block within a sane HBM envelope
-        return 2048 if n <= 300_000 else (1024 if n <= 1_000_000 else 512)
-
     def _repulsive_gradients(self, Z, consts, carry, it, key):
         # Per-point count of negatives due this step: negative_sample_rate
         # per fired positive edge (reference: umap.py:266-292).
@@ -240,27 +233,12 @@ class UMAP(NegativeSamplingNeighborEmbedding):
             # per-point random gathers (the measured round-1 bottleneck,
             # ~0.5M 8-byte rows/ms) become two MXU matmuls:
             #   D = ‖z_i‖² + ‖z_s‖² − 2 Z Zₛᵀ ;  grad = (Σ_s c) z_i − c Zₛ.
-            from ...ops.metrics import sq_dists_from_gram
-            from jax import lax as _lax
-
-            n = consts["n"]
-            S = self._shared_negative_count(int(n))
-            neg = jax.random.randint(key, (S,), 0, n)
-            Zneg = Z[neg]  # (S, d): the only gather, S rows per *step*
-            zn = jnp.sum(Z * Z, axis=-1)
-            nn_norm = jnp.sum(Zneg * Zneg, axis=-1)
-            gram = jnp.matmul(
-                Z, Zneg.T,
-                preferred_element_type=jnp.float32,
-                precision=_lax.Precision.HIGHEST,  # d=2: 6-pass cost is nil
-            )
-            D = sq_dists_from_gram(zn, nn_norm, gram)
+            D, valid, Zneg = self._shared_negative_sqdists(Z, consts, key)
+            S = D.shape[1]
             coef = -2.0 * self._b / (
                 (D + self._eps) * (1.0 + self._a * D**self._b)
             )
-            coef = jnp.where(
-                neg[None, :] == jnp.arange(Z.shape[0])[:, None], 0.0, coef
-            )
+            coef = jnp.where(valid, coef, 0.0)
             coef = coef * (neg_counts.astype(jnp.float32) / S)[:, None]
             grad = jnp.clip(
                 jnp.sum(coef, axis=1)[:, None] * Z

@@ -4,6 +4,7 @@ from .distance import knn_graph, pairwise_distances, pairwise_distances_indexed
 from .kmeans import kmeans_fit
 from .ivf import IVFIndex, ivf_build, ivf_knn
 from .knn_config import EXACT, FAST, IVF, KnnConfig
+from .pq import PQCodebook, pq_encode, pq_knn, pq_search, pq_train
 from .streaming import knn_graph_from_batches
 from .metrics import LIST_METRICS, pairwise_block
 from .reduce import pairwise_logkernel_logsumexp, pairwise_logkernel_rowlse
@@ -26,6 +27,7 @@ __all__ = [
     "knn_graph", "pairwise_distances", "pairwise_distances_indexed",
     "KnnConfig", "EXACT", "FAST", "IVF", "kmeans_fit", "knn_graph_from_batches",
     "IVFIndex", "ivf_build", "ivf_knn",
+    "PQCodebook", "pq_train", "pq_encode", "pq_search", "pq_knn",
     "LIST_METRICS", "pairwise_block",
     "pairwise_logkernel_logsumexp", "pairwise_logkernel_rowlse",
     "center_kernel", "cross_entropy_loss", "entropy", "kmax", "kmin",

@@ -149,40 +149,45 @@ def _ivf_search(
         score = votes - jnp.min(Dc, axis=0) / 1e12
         _, cells = lax.top_k(score, ncells)  # vote-ordered winning cells
 
-        # Greedy expansion of vote-ordered cells into `budget` chunk slots:
-        # slot s belongs to the cell whose cumulative chunk count covers s.
+        # Expand vote-ordered cells into `budget` chunk slots, round-robin:
+        # the top-voted cell (the block's home cell) gets ALL its chunks
+        # first, then every other cell's 1st chunk, 2nd chunk, … — so a
+        # tight budget truncates the deep tails of big low-priority cells
+        # instead of dropping whole cells. All in (ncells · max_ch)-sized
+        # index arithmetic; every scanned slot is productive.
+        max_ch = max(1, -(-int(budget) // max(1, ncells)) + 3)
         cnts = counts[cells]                              # (ncells,)
-        nch = (cnts + (chunk - 1)) // chunk
-        prefix = jnp.cumsum(nch)
-        slot = jnp.arange(budget, dtype=jnp.int32)
-        ci = jnp.searchsorted(prefix, slot, side="right")
-        ci_c = jnp.minimum(ci, ncells - 1)
-        prev = jnp.where(ci_c > 0, prefix[ci_c - 1], 0)
-        within = slot - prev
-        slot_start = offsets[cells[ci_c]] + within * chunk  # (budget,)
+        nch = (cnts + (chunk - 1)) // chunk               # chunks per cell
+        ci_g = jnp.tile(jnp.arange(ncells, dtype=jnp.int32), max_ch)
+        w_g = jnp.repeat(jnp.arange(max_ch, dtype=jnp.int32), ncells)
+        live = w_g < nch[ci_g]
+        # priority: home cell (ci==0) first, then (chunk depth, vote rank)
+        prio = jnp.where(
+            ci_g == 0, w_g, max_ch + w_g * ncells + ci_g
+        )
+        prio = jnp.where(live, prio, jnp.iinfo(jnp.int32).max)
+        order = jnp.argsort(prio)[:budget]                # tiny sort
+        sel_ci = ci_g[order]
+        sel_w = w_g[order]
+        slot_start = offsets[cells[sel_ci]] + sel_w * chunk      # (budget,)
         slot_valid = jnp.where(
-            ci < ncells, cnts[ci_c] - within * chunk, 0
-        )  # rows valid in each slot (≤0 → fully masked)
+            live[order], cnts[sel_ci] - sel_w * chunk, 0
+        )
 
         def scan_slot(s, buf):
-            def live(buf):
-                start = slot_start[s]
-                Xc = lax.dynamic_slice_in_dim(X_sorted, start, chunk, axis=0)
-                idc = lax.dynamic_slice_in_dim(ids_sorted, start, chunk, axis=0)
-                nc = lax.dynamic_slice_in_dim(x_norms, start, chunk, axis=0)
-                g = jnp.matmul(
-                    Qb, Xc.T, preferred_element_type=jnp.float32, precision=prec
-                )
-                sc = nc[None, :] - 2.0 * g  # rank-equivalent within each row
-                invalid = (jnp.arange(chunk)[None, :] >= slot_valid[s]) | (
-                    idc[None, :] == rows[:, None]
-                )
-                sc = sc + MASK_VALUE * invalid.astype(sc.dtype)
-                return lax.dynamic_update_slice(buf, sc, (0, s * chunk))
-
-            # slots past a cell's last chunk are skipped outright, so the
-            # static budget can be sized for worst-case skew at ~zero cost
-            return lax.cond(slot_valid[s] > 0, live, lambda b: b, buf)
+            start = slot_start[s]
+            Xc = lax.dynamic_slice_in_dim(X_sorted, start, chunk, axis=0)
+            idc = lax.dynamic_slice_in_dim(ids_sorted, start, chunk, axis=0)
+            nc = lax.dynamic_slice_in_dim(x_norms, start, chunk, axis=0)
+            g = jnp.matmul(
+                Qb, Xc.T, preferred_element_type=jnp.float32, precision=prec
+            )
+            sc = nc[None, :] - 2.0 * g  # rank-equivalent within each row
+            invalid = (jnp.arange(chunk)[None, :] >= slot_valid[s]) | (
+                idc[None, :] == rows[:, None]
+            )
+            sc = sc + MASK_VALUE * invalid.astype(sc.dtype)
+            return lax.dynamic_update_slice(buf, sc, (0, s * chunk))
 
         buf = lax.fori_loop(
             0, budget, scan_slot,
@@ -244,11 +249,11 @@ def ivf_knn(
     ncells_total = int(index.offsets.shape[0])
     nprobe = min(nprobe, ncells_total)
     if budget is None:
-        # sized so that NO vote-chosen cell is dropped: the p999 cell size
-        # bounds per-cell chunks, and cond-skipped empty slots are ~free
+        # first+second chunks of every chosen cell plus tail slack; the
+        # round-robin expansion spends any surplus on deep tails
         counts_h = np.asarray(index.counts)
-        big = float(np.percentile(counts_h, 99.9)) if counts_h.size else 1.0
-        budget = int(nprobe * max(1.0, np.ceil(big / chunk)))
+        mean_cnt = float(counts_h.mean()) if counts_h.size else 1.0
+        budget = int(nprobe * max(1.0, np.ceil(mean_cnt / chunk)) + 4)
     budget = min(budget, -(-n // chunk) + 1)
     m_eff = m if m is not None else max(2 * k, 32)
 
