@@ -241,3 +241,32 @@ class TestSingleDeviceMesh:
             n_neighbors=10, max_iter=50, random_state=0, distributed=True, mesh=mesh1
         ).fit_transform(X)
         assert np.isfinite(np.asarray(Z)).all()
+
+
+@needs_8
+class TestDistributedStreaming:
+    """Per-chunk distributed streaming search (reference:
+    torchdr/distance/faiss.py:786-867)."""
+
+    def test_streaming_mesh_matches_single(self, mesh):
+        from torchdr_tpu.ops.streaming import knn_graph_from_batches
+
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(200, 8)).astype(np.float32)
+        batches = [X[:80], X[80:150], X[150:]]
+        d1, i1 = knn_graph_from_batches(batches, k=5)
+        d2, i2 = knn_graph_from_batches(batches, k=5, mesh=mesh)
+        assert np.allclose(np.asarray(d1), np.asarray(d2), atol=1e-4)
+        assert np.array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_cross_knn_sharded_queries(self, mesh):
+        from torchdr_tpu.parallel.knn import knn_graph_sharded_queries
+
+        rng = np.random.default_rng(1)
+        Q = rng.normal(size=(93, 8)).astype(np.float32)
+        DB = rng.normal(size=(170, 8)).astype(np.float32)
+        d1, i1 = knn_graph_sharded_queries(
+            jnp.asarray(Q), jnp.asarray(DB), 7, mesh
+        )
+        d2, i2 = knn_graph(jnp.asarray(Q), jnp.asarray(DB), k=7, exclude_diag=False)
+        assert np.allclose(np.sort(d1, 1), np.sort(d2, 1), atol=1e-4)

@@ -37,12 +37,18 @@ def knn_graph_from_batches(
     precision: str = "highest",
     mode: str = "exact",
     block_size: int = 1024,
+    mesh=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact kNN over a dataset delivered as row batches.
 
     ``batches`` may be a list/generator of arrays or a torch DataLoader
     (possibly yielding (data, target) tuples). Returns (dists, indices)
     of shape (n, k) in the dataset's row order.
+
+    With ``mesh``, each batch's query rows are sharded over the mesh and
+    searched against the replicated database via shard_map — the analog of
+    the reference's distributed per-chunk DataLoader search
+    (reference: torchdr/distance/faiss.py:786-867).
 
     Note: a generator is consumed once — the device keeps the database, so
     only one pass over the loader is needed (unlike the reference's 2-pass
@@ -58,10 +64,17 @@ def knn_graph_from_batches(
     dists_out, idx_out = [], []
     offset = 0
     for Qb in dev:
-        d, idx = knn_graph(
-            Qb, DB, k=k_search, metric=metric, exclude_diag=False,
-            block_size=block_size, precision=precision, mode=mode,
-        )
+        if mesh is not None:
+            from ..parallel.knn import knn_graph_sharded_queries
+
+            d, idx = knn_graph_sharded_queries(
+                Qb, DB, k_search, mesh, metric=metric, block_size=block_size
+            )
+        else:
+            d, idx = knn_graph(
+                Qb, DB, k=k_search, metric=metric, exclude_diag=False,
+                block_size=block_size, precision=precision, mode=mode,
+            )
         if exclude_self:
             rows = offset + jnp.arange(Qb.shape[0])
             is_self = idx == rows[:, None]

@@ -81,6 +81,53 @@ def knn_graph_sharded(
     return d[:n], idx[:n]
 
 
+def knn_graph_sharded_queries(
+    Q: jnp.ndarray,
+    DB: jnp.ndarray,
+    k: int,
+    mesh,
+    metric: str = "sqeuclidean",
+    block_size: int = 1024,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cross kNN (queries vs a separate database), queries row-sharded.
+
+    The per-chunk distributed-search analog of the reference's DataLoader
+    path (reference: torchdr/distance/faiss.py:786-867): each device
+    searches its query chunk against the replicated database.
+    """
+    check_metric(metric)
+    axis = mesh.axis_names[0]
+    world = mesh.devices.size
+    nq = Q.shape[0]
+    n_pad = pad_to_multiple(nq, world)
+    Qp = _pad_rows_to(Q, n_pad)
+    chunk = n_pad // world
+    m = DB.shape[0]
+
+    def local_knn(Q_local, DB_full):
+        block = min(block_size, chunk)
+        n_blocks = -(-chunk // block)
+        Qb_pad = _pad_rows_to(Q_local, n_blocks * block)
+
+        def process(b):
+            Xb = lax.dynamic_slice_in_dim(Qb_pad, b * block, block, axis=0)
+            C = pairwise_block(Xb, DB_full, metric)
+            neg_topk, idx = lax.top_k(-C, k)
+            return -neg_topk, idx
+
+        d, i = lax.map(process, jnp.arange(n_blocks))
+        return d.reshape(-1, k)[:chunk], i.reshape(-1, k)[:chunk]
+
+    f = shard_map(
+        local_knn,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(None, None)),
+        out_specs=(P(axis, None), P(axis, None)),
+    )
+    d, idx = jax.jit(f)(Qp, DB)
+    return d[:nq], idx[:nq]
+
+
 def knn_graph_ring(
     X: jnp.ndarray,
     k: int,
