@@ -122,6 +122,7 @@ def _ivf_search(
     nq = Qs.shape[0]
     n_blocks = nq // block
     nlist = centroids.shape[0]
+    n_total = X_sorted.shape[0] - chunk  # valid rows (tail is padding)
     c_norm = jnp.sum(centroids * centroids, axis=-1)
     x_norms = jnp.sum(X_sorted * X_sorted, axis=-1)
     per_query_probes = max(2, min(nlist, ncells // 2))
@@ -169,32 +170,32 @@ def _ivf_search(
         order = jnp.argsort(prio)[:budget]                # tiny sort
         sel_ci = ci_g[order]
         sel_w = w_g[order]
-        slot_start = offsets[cells[sel_ci]] + sel_w * chunk      # (budget,)
-        slot_valid = jnp.where(
-            live[order], cnts[sel_ci] - sel_w * chunk, 0
-        )
+        sel_live = live[order]
+        slot_start = jnp.where(
+            sel_live, offsets[cells[sel_ci]] + sel_w * chunk, n_total
+        )  # (budget,); dead slots point at the padded tail
+        slot_valid = jnp.where(sel_live, cnts[sel_ci] - sel_w * chunk, 0)
 
-        def scan_slot(s, buf):
-            start = slot_start[s]
-            Xc = lax.dynamic_slice_in_dim(X_sorted, start, chunk, axis=0)
-            idc = lax.dynamic_slice_in_dim(ids_sorted, start, chunk, axis=0)
-            nc = lax.dynamic_slice_in_dim(x_norms, start, chunk, axis=0)
-            g = jnp.matmul(
-                Qb, Xc.T, preferred_element_type=jnp.float32, precision=prec
-            )
-            sc = nc[None, :] - 2.0 * g  # rank-equivalent within each row
-            invalid = (jnp.arange(chunk)[None, :] >= slot_valid[s]) | (
-                idc[None, :] == rows[:, None]
-            )
-            sc = sc + MASK_VALUE * invalid.astype(sc.dtype)
-            return lax.dynamic_update_slice(buf, sc, (0, s * chunk))
-
-        buf = lax.fori_loop(
-            0, budget, scan_slot,
-            jnp.full((block, budget * chunk), MASK_VALUE, jnp.float32),
+        # ONE gather of every probed row (contiguous chunk-length runs —
+        # near-memcpy), then ONE query-block matmul. No per-slot loop: the
+        # measured per-slot XLA overhead (~15 µs: fusion boundaries +
+        # dynamic_update_slice handling) was the kernel's cost floor.
+        row_idx = (slot_start[:, None] + jnp.arange(chunk)[None, :]).reshape(-1)
+        Xg_all = X_sorted[row_idx]      # (budget·chunk, d)
+        idg = ids_sorted[row_idx]       # (budget·chunk,)
+        ng = x_norms[row_idx]
+        g = jnp.matmul(
+            Qb, Xg_all.T, preferred_element_type=jnp.float32, precision=prec
         )
+        sc = ng[None, :] - 2.0 * g      # rank-equivalent within each row
+        col_dead = (
+            jnp.arange(chunk)[None, :] >= slot_valid[:, None]
+        ).reshape(-1)
+        invalid = col_dead[None, :] | (idg[None, :] == rows[:, None])
+        buf = sc + MASK_VALUE * invalid.astype(sc.dtype)
+
         vals, cidx = lax.approx_min_k(buf, m, recall_target=0.99)
-        pos = slot_start[cidx // chunk] + cidx % chunk  # (block, m)
+        pos = row_idx[cidx]             # (block, m): direct flat mapping
 
         # exact f32 re-rank of the m survivors (difference form: fused VPU,
         # no catastrophic cancellation, no norm gathers)
@@ -249,11 +250,18 @@ def ivf_knn(
     ncells_total = int(index.offsets.shape[0])
     nprobe = min(nprobe, ncells_total)
     if budget is None:
-        # first+second chunks of every chosen cell plus tail slack; the
-        # round-robin expansion spends any surplus on deep tails
-        counts_h = np.asarray(index.counts)
-        mean_cnt = float(counts_h.mean()) if counts_h.size else 1.0
-        budget = int(nprobe * max(1.0, np.ceil(mean_cnt / chunk)) + 4)
+        # expected chunks over the probed cells: cells are probed roughly
+        # in proportion to their mass (queries live inside them), so use
+        # the size-biased mean of per-cell chunk counts, plus slack
+        counts_h = np.asarray(index.counts, np.float64)
+        total = counts_h.sum()
+        if total > 0:
+            sb_chunks = float(
+                (counts_h * np.ceil(counts_h / chunk)).sum() / total
+            )
+        else:
+            sb_chunks = 1.0
+        budget = int(np.ceil(nprobe * max(1.0, sb_chunks)) + 4)
     budget = min(budget, -(-n // chunk) + 1)
     m_eff = m if m is not None else max(2 * k, 32)
 
