@@ -108,3 +108,45 @@ class TestCheckpoint:
         save_estimator(model, str(tmp_path / "m"))
         with pytest.raises(ValueError, match="checkpoint"):
             load_estimator(tdr.KernelPCA(), str(tmp_path / "m"))
+
+
+@pytest.mark.parametrize("make", ALL_ESTIMATORS)
+class TestCloneAndDeterminism:
+    def test_clone_from_params_refits(self, make, X):
+        """sklearn clone contract: a new instance built from get_params()
+        behaves like the original (reference: test_estimators.py:96)."""
+        model = make()
+        clone = type(model)(**model.get_params())
+        Z1 = np.asarray(model.fit_transform(X))
+        Z2 = np.asarray(clone.fit_transform(X))
+        assert Z1.shape == Z2.shape
+        assert np.isfinite(Z2).all()
+
+    def test_same_seed_same_embedding(self, make, X):
+        model = make()
+        if "random_state" not in model.get_params():
+            pytest.skip("no seed param")
+        model.set_params(random_state=0)
+        Z1 = np.asarray(model.fit_transform(X))
+        model2 = type(model)(**model.get_params())
+        Z2 = np.asarray(model2.fit_transform(X))
+        assert np.allclose(Z1, Z2, atol=1e-5)
+
+
+class TestFormatRoundTrip:
+    def test_torch_input_returns_torch(self):
+        import torch
+
+        X = torch.randn(40, 6)
+        Z = tdr.PCA(n_components=2).fit_transform(X)
+        assert isinstance(Z, torch.Tensor) and Z.shape == (40, 2)
+
+    def test_numpy_input_returns_numpy(self):
+        X = np.random.default_rng(0).normal(size=(40, 6)).astype(np.float32)
+        Z = tdr.UMAP(n_neighbors=5, max_iter=10, random_state=0).fit_transform(X)
+        assert isinstance(Z, np.ndarray)
+
+    def test_float64_numpy_accepted(self):
+        X = np.random.default_rng(0).normal(size=(40, 6))
+        Z = tdr.PCA(n_components=2).fit_transform(X)
+        assert np.isfinite(np.asarray(Z)).all()
