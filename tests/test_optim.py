@@ -5,6 +5,7 @@ torch.optim exactly (reference tuning transfers); verify step-by-step
 against torch on random gradient sequences.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -109,3 +110,59 @@ class TestSchedulers:
     def test_unknown_raises(self):
         with pytest.raises(ValueError, match="Scheduler"):
             make_scheduler("Bogus")
+
+
+class TestLBFGS:
+    """Fixed-step two-loop L-BFGS (the reference's SEA LBFGS branch analog,
+    torchdr/affinity/entropic.py:437-577)."""
+
+    def test_quadratic_beats_adam(self):
+        rng = np.random.default_rng(0)
+        A = rng.normal(size=(30, 30))
+        A = jnp.asarray(A @ A.T / 30 + np.eye(30), jnp.float32)
+        b = jnp.asarray(rng.normal(size=30), jnp.float32)
+
+        def resid(name, lr):
+            opt = make_optimizer(name)
+            x = jnp.zeros(30)
+            st = opt.init(x)
+            for _ in range(60):
+                x, st = opt.update(A @ x - b, st, x, lr, {})
+            return float(jnp.linalg.norm(A @ x - b))
+
+        assert resid("LBFGS", 1.0) < 1e-4
+        assert resid("LBFGS", 1.0) < resid("Adam", 0.1) / 100
+
+    def test_reset_clears_history(self):
+        opt = make_optimizer("LBFGS")
+        x = jnp.ones(8)
+        st = opt.init(x)
+        x, st = opt.update(x * 2.0, st, x, 0.1, {})
+        x, st = opt.update(x * 2.0, st, x, 0.1, {})
+        st2 = opt.reset(st)
+        assert int(st2["step"]) == 0
+        assert float(jnp.abs(st2["rho"]).max()) == 0.0
+
+    def test_sea_lbfgs_matches_adam(self):
+        from torchdr_tpu.affinity import SymmetricEntropicAffinity
+
+        rng = np.random.default_rng(1)
+        X = jnp.asarray(rng.normal(size=(100, 6)).astype(np.float32))
+        Pa = SymmetricEntropicAffinity(perplexity=12, optimizer="Adam", max_iter=800)(X)
+        Pl = SymmetricEntropicAffinity(
+            perplexity=12, optimizer="LBFGS", lr=0.5, max_iter=300
+        )(X)
+        assert float(jnp.max(jnp.abs(jnp.exp(Pa) - jnp.exp(Pl)))) < 1e-4
+
+    def test_jit_compatible(self):
+        opt = make_optimizer("LBFGS")
+
+        @jax.jit
+        def step(x, st):
+            return opt.update(2.0 * x, st, x, 0.5, {})
+
+        x = jnp.ones(5)
+        st = opt.init(x)
+        for _ in range(5):
+            x, st = step(x, st)
+        assert bool(jnp.isfinite(x).all())

@@ -511,7 +511,21 @@ class AffinityMatcher(DRModule):
             jnp.asarray(False),
         )
 
-        it, theta, Z, carry, gn = jax.jit(run)(state0, array_consts)
+        # Cache the compiled loop across fits of this instance: a fresh
+        # jax.jit wrapper per fit would RECOMPILE the whole while_loop every
+        # fit_transform (axon executables are not disk-cacheable — measured
+        # ~50 s per recompile at n=60k, dominating "warm" fits).
+        cache_key = (
+            self.optimizer, str(base_kwargs), float(lr_ee), float(lr_post),
+            mom_ee, mom_post, self.scheduler, has_ee, ee_iter, ee_coeff,
+            max_iter, check_interval, min_grad_norm, use_closed_form,
+            mesh, encoder is not None,
+            tuple(sorted((k, str(v)) for k, v in static_consts.items())),
+        )
+        cached = getattr(self, "_compiled_run_", None)
+        if cached is None or cached[0] != cache_key:
+            self._compiled_run_ = (cache_key, jax.jit(run))
+        it, theta, Z, carry, gn = self._compiled_run_[1](state0, array_consts)
         if encoder is not None:
             self.encoder_variables_ = theta
         self._final_carry_ = jax.tree_util.tree_map(lambda x: x, carry)

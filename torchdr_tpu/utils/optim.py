@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
+import jax.flatten_util  # noqa: F401  (registers jax.flatten_util)
 import jax.numpy as jnp
 
 Params = Any  # pytree
@@ -153,12 +154,95 @@ def _radam_update(grad, state, point, lr, hyper):
     return new_point, {"m": m, "v": v, "step": t}
 
 
+# --- L-BFGS (fixed-step, fixed-memory two-loop recursion) ---
+#
+# The reference's SEA solver offers torch.optim.LBFGS with strong-Wolfe
+# line search (reference: torchdr/affinity/entropic.py:437-577) — a
+# host-side, data-dependently-iterating optimizer that can't live inside a
+# compiled while_loop. The XLA-native replacement: curvature pairs in a
+# fixed-size ring buffer, the classic two-loop recursion with masked
+# invalid slots, and a fixed step (lr) instead of a line search.
+
+_LBFGS_MEM = 10
+
+
+def _lbfgs_init(params):
+    flat, _ = jax.flatten_util.ravel_pytree(params)
+    d = flat.size
+    return {
+        "s": jnp.zeros((_LBFGS_MEM, d), flat.dtype),
+        "y": jnp.zeros((_LBFGS_MEM, d), flat.dtype),
+        "rho": jnp.zeros((_LBFGS_MEM,), flat.dtype),
+        "prev_x": flat,
+        "prev_g": jnp.zeros_like(flat),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def _lbfgs_update(grad, state, params, lr, hyper):
+    flat, unravel = jax.flatten_util.ravel_pytree(params)
+    g, _ = jax.flatten_util.ravel_pytree(grad)
+    m = _LBFGS_MEM
+    step = state["step"]
+
+    s_k = flat - state["prev_x"]
+    y_k = g - state["prev_g"]
+    sy = jnp.dot(s_k, y_k)
+    valid = jnp.logical_and(step > 0, sy > 1e-10)
+    slot = jnp.maximum(step - 1, 0) % m
+    s_h = jnp.where(valid, state["s"].at[slot].set(s_k), state["s"])
+    y_h = jnp.where(valid, state["y"].at[slot].set(y_k), state["y"])
+    rho = jnp.where(
+        valid, state["rho"].at[slot].set(1.0 / jnp.maximum(sy, 1e-30)), state["rho"]
+    )
+
+    # two-loop recursion, most-recent pair first; empty slots masked by rho=0
+    def loop1(j, carry):
+        q, alphas = carry
+        idx = (slot - j) % m
+        a = rho[idx] * jnp.dot(s_h[idx], q)
+        a = jnp.where(rho[idx] > 0, a, 0.0)
+        return q - a * y_h[idx], alphas.at[j].set(a)
+
+    q, alphas = jax.lax.fori_loop(
+        0, m, loop1, (g, jnp.zeros((m,), g.dtype))
+    )
+    yy = jnp.dot(y_h[slot], y_h[slot])
+    gamma = jnp.where(rho[slot] > 0, 1.0 / jnp.maximum(rho[slot] * yy, 1e-30), 1.0)
+    r = gamma * q
+
+    def loop2(j, r):
+        idx = (slot - (m - 1 - j)) % m
+        b = rho[idx] * jnp.dot(y_h[idx], r)
+        corr = (alphas[m - 1 - j] - b) * s_h[idx]
+        return jnp.where(rho[idx] > 0, r + corr, r)
+
+    r = jax.lax.fori_loop(0, m, loop2, r)
+    new_flat = flat - lr * r
+    new_state = {
+        "s": s_h, "y": y_h, "rho": rho,
+        "prev_x": flat, "prev_g": g, "step": step + 1,
+    }
+    return unravel(new_flat), new_state
+
+
+def _lbfgs_reset(state):
+    out = dict(state)
+    out["s"] = jnp.zeros_like(out["s"])
+    out["y"] = jnp.zeros_like(out["y"])
+    out["rho"] = jnp.zeros_like(out["rho"])
+    out["prev_g"] = jnp.zeros_like(out["prev_g"])
+    out["step"] = jnp.zeros((), jnp.int32)
+    return out
+
+
 _OPTIMIZERS = {
     "SGD": ( _sgd_init, _sgd_update),
     "Adam": (_adam_init, _make_adam()),
     "AdamW": (_adam_init, _make_adam(weight_decay=1e-2)),
     "NAdam": (_adam_init, _make_adam(nesterov=True)),
     "RiemannianAdam": (_radam_init, _radam_update),
+    "LBFGS": (_lbfgs_init, _lbfgs_update),
 }
 
 
@@ -169,7 +253,8 @@ def make_optimizer(name: str) -> OptimizerDef:
             f"Available: {sorted(_OPTIMIZERS)}."
         )
     init, update = _OPTIMIZERS[name]
-    return OptimizerDef(name, init, update, _reset)
+    reset = _lbfgs_reset if name == "LBFGS" else _reset
+    return OptimizerDef(name, init, update, reset)
 
 
 def normalize_optimizer_kwargs(kwargs: Dict | None) -> Dict:
