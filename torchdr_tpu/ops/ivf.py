@@ -63,8 +63,16 @@ def ivf_build(
     train_size: int = 25_600,
     kmeans_iters: int = 25,
     chunk: int = 512,
+    align: bool = True,
 ) -> IVFIndex:
-    """Build the inverted file index (host-synced shapes; build once)."""
+    """Build the inverted file index (host-synced shapes; build once).
+
+    With ``align=True`` each cell's rows are padded to a multiple of
+    ``chunk`` (dead rows carry id −1 and are masked at scan time): every
+    probe slot is then a *block-aligned* slice, which both simplifies
+    masking and lets the Pallas scan kernel address chunks through plain
+    BlockSpec index maps. Memory overhead ≈ nlist·chunk/2 rows.
+    """
     n, d = X.shape
     nlist = n_clusters or auto_nlist(n)
     key = key if key is not None else jax.random.PRNGKey(0)
@@ -79,8 +87,29 @@ def ivf_build(
     labels = _assign_blockwise(X, centroids)
     order = jnp.argsort(labels, stable=True)
     counts = jnp.zeros((nlist,), jnp.int32).at[labels].add(1)
-    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
 
+    if align:
+        import numpy as np
+
+        counts_h = np.asarray(counts)
+        padded = (np.ceil(counts_h / chunk).astype(np.int64) * chunk)
+        offs_h = np.concatenate([[0], np.cumsum(padded)[:-1]]).astype(np.int64)
+        total = int(padded.sum())
+        # destination slot of each sorted row: cell base + rank within cell
+        raw_offs = np.concatenate([[0], np.cumsum(counts_h)[:-1]])
+        lab_sorted = np.asarray(labels)[np.asarray(order)]
+        within = np.arange(n) - raw_offs[lab_sorted]
+        dest = jnp.asarray(offs_h[lab_sorted] + within, jnp.int32)
+        X_sorted = jnp.zeros((total + chunk, d), X.dtype).at[dest].set(X[order])
+        ids_sorted = (
+            jnp.full((total + chunk,), -1, jnp.int32)
+            .at[dest]
+            .set(order.astype(jnp.int32))
+        )
+        offsets = jnp.asarray(offs_h, jnp.int32)
+        return IVFIndex(centroids, X_sorted, ids_sorted, offsets, counts, chunk)
+
+    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
     X_sorted = X[order]
     ids_sorted = order.astype(jnp.int32)
     # pad the tail so dynamic slices of length `chunk` never run off the end
@@ -107,10 +136,13 @@ def _assign_blockwise(X, centroids, block: int = 4096):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "ncells", "budget", "block", "chunk", "m", "scan_precision"),
+    static_argnames=(
+        "k", "ncells", "budget", "block", "chunk", "m", "scan_precision", "scan_impl",
+    ),
 )
 def _ivf_search(
-    Qs, q_rows, index_arrays, k, ncells, budget, block, chunk, m, scan_precision
+    Qs, q_rows, index_arrays, k, ncells, budget, block, chunk, m, scan_precision,
+    scan_impl="xla",
 ):
     """The probe kernel. See the module docstring for the design rationale.
 
@@ -142,10 +174,12 @@ def _ivf_search(
         # nominates its nearest cells; the block probes the most-nominated.
         _, nom = lax.top_k(-Dc, per_query_probes)
         weights = 1.0 / (1.0 + jnp.arange(per_query_probes, dtype=jnp.float32))
+        # dead queries (pad rows, negative ids) don't get a vote
+        w_q = (rows >= 0).astype(jnp.float32)[:, None] * weights[None, :]
         votes = (
             jnp.zeros((nlist,), jnp.float32)
             .at[nom.reshape(-1)]
-            .add(jnp.broadcast_to(weights[None, :], nom.shape).reshape(-1))
+            .add(w_q.reshape(-1))
         )
         score = votes - jnp.min(Dc, axis=0) / 1e12
         _, cells = lax.top_k(score, ncells)  # vote-ordered winning cells
@@ -183,19 +217,32 @@ def _ivf_search(
         row_idx = (slot_start[:, None] + jnp.arange(chunk)[None, :]).reshape(-1)
         Xg_all = X_sorted[row_idx]      # (budget·chunk, d)
         idg = ids_sorted[row_idx]       # (budget·chunk,)
-        ng = x_norms[row_idx]
-        g = jnp.matmul(
-            Qb, Xg_all.T, preferred_element_type=jnp.float32, precision=prec
-        )
-        sc = ng[None, :] - 2.0 * g      # rank-equivalent within each row
         col_dead = (
             jnp.arange(chunk)[None, :] >= slot_valid[:, None]
         ).reshape(-1)
-        invalid = col_dead[None, :] | (idg[None, :] == rows[:, None])
-        buf = sc + MASK_VALUE * invalid.astype(sc.dtype)
+        idg = jnp.where(col_dead, -1, idg)
 
-        vals, cidx = lax.approx_min_k(buf, m, recall_target=0.99)
-        pos = row_idx[cidx]             # (block, m): direct flat mapping
+        if scan_impl == "pallas":
+            # fused scan + exact in-VMEM top-m (ops/pallas/ivf_kernel.py):
+            # no (block, W) buffer, no separate selection pass
+            from .pallas.ivf_kernel import ivf_scan_block_pallas
+
+            vals, p = ivf_scan_block_pallas(
+                Qb, rows, Xg_all, idg, m=m, chunk=chunk,
+                scan_precision=scan_precision,
+                interpret=jax.default_backend() == "cpu",
+            )
+            pos = row_idx[jnp.maximum(p, 0)]
+        else:
+            ng = x_norms[row_idx]
+            g = jnp.matmul(
+                Qb, Xg_all.T, preferred_element_type=jnp.float32, precision=prec
+            )
+            sc = ng[None, :] - 2.0 * g  # rank-equivalent within each row
+            invalid = (idg[None, :] < 0) | (idg[None, :] == rows[:, None])
+            buf = sc + MASK_VALUE * invalid.astype(sc.dtype)
+            vals, cidx = lax.approx_min_k(buf, m, recall_target=0.99)
+            pos = row_idx[cidx]         # (block, m): direct flat mapping
 
         # exact f32 re-rank of the m survivors (difference form: fused VPU,
         # no catastrophic cancellation, no norm gathers)
@@ -222,6 +269,7 @@ def ivf_knn(
     m: int | None = None,
     scan_precision: str = "high",
     budget: int | None = None,
+    scan_impl: str = "xla",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Approximate self-kNN of X through an IVF index.
 
@@ -262,24 +310,35 @@ def ivf_knn(
         else:
             sb_chunks = 1.0
         budget = int(np.ceil(nprobe * max(1.0, sb_chunks)) + 4)
-    budget = min(budget, -(-n // chunk) + 1)
+    budget = min(budget, (index.X_sorted.shape[0] - chunk) // chunk + 1)
     m_eff = m if m is not None else max(2 * k, 32)
 
-    n_pad = -(-n // block) * block
-    Qs = index.X_sorted[:n]
-    sorted_ids = index.ids_sorted[:n]
-    q_rows = sorted_ids if exclude_self else jnp.full((n,), -1, jnp.int32)
-    if n_pad != n:
-        # far-away pad queries so they don't pollute the last block's votes
+    # Self-query fast path over the (possibly chunk-aligned) sorted layout:
+    # dead pad rows (id −1) ride along as dead queries — they are excluded
+    # from probe voting and their outputs are dropped by the scatter.
+    total = index.X_sorted.shape[0] - chunk
+    n_pad = -(-total // block) * block
+    Qs = index.X_sorted[:total]
+    out_ids = index.ids_sorted[:total]
+    # exclusion ids: shifted out of range when self-matches are allowed,
+    # negative (vote-dead) for pad rows either way
+    q_rows = jnp.where(
+        out_ids >= 0, out_ids + (0 if exclude_self else n), out_ids
+    )
+    if n_pad != total:
         Qs = jnp.concatenate(
-            [Qs, jnp.full((n_pad - n, X.shape[1]), 1e12, X.dtype)]
+            [Qs, jnp.full((n_pad - total, X.shape[1]), 1e12, X.dtype)]
         )
-        q_rows = jnp.concatenate([q_rows, jnp.full((n_pad - n,), -2, jnp.int32)])
+        q_rows = jnp.concatenate(
+            [q_rows, jnp.full((n_pad - total,), -2, jnp.int32)]
+        )
 
     d, i = _ivf_search(
-        Qs, q_rows, arrays, k, nprobe, budget, block, chunk, m_eff, scan_precision
+        Qs, q_rows, arrays, k, nprobe, budget, block, chunk, m_eff,
+        scan_precision, scan_impl,
     )
-    # scatter back to original row order (ids_sorted is the permutation)
-    out_d = jnp.zeros((n, k), d.dtype).at[sorted_ids].set(d[:n])
-    out_i = jnp.zeros((n, k), jnp.int32).at[sorted_ids].set(i[:n])
-    return out_d, out_i
+    # scatter back to original row order; dead rows land in the spill slot
+    scatter_ids = jnp.where(out_ids >= 0, out_ids, n)
+    out_d = jnp.zeros((n + 1, k), d.dtype).at[scatter_ids].set(d[:total])
+    out_i = jnp.zeros((n + 1, k), jnp.int32).at[scatter_ids].set(i[:total])
+    return out_d[:n], out_i[:n]
