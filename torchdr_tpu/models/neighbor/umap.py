@@ -15,6 +15,7 @@ from typing import Dict, Optional, Union
 
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ...affinity.knn_normalized import UMAPAffinity
 from .base import NegativeSamplingNeighborEmbedding
@@ -78,6 +79,7 @@ class UMAP(NegativeSamplingNeighborEmbedding):
         discard_NNs: bool = False,
         shared_negatives: bool = True,
         n_shared_negatives: Optional[int] = None,
+        edge_groups: int = 1,
         **kwargs,
     ):
         self.n_neighbors = n_neighbors
@@ -86,6 +88,7 @@ class UMAP(NegativeSamplingNeighborEmbedding):
         self.metric = metric
         self.max_iter_affinity = max_iter_affinity
         self.negative_sample_rate = negative_sample_rate
+        self.edge_groups = int(edge_groups)
         self._eps = 1e-3
 
         if a is None or b is None:
@@ -180,6 +183,33 @@ class UMAP(NegativeSamplingNeighborEmbedding):
     def _build_consts(self, X):
         consts = super()._build_consts(X)
         P = self.affinity_in_
+        NN = jnp.asarray(self.NN_indices_)
+
+        G = max(1, self.edge_groups)
+        W = P.shape[1]
+        if G > 1:
+            # Rotating edge groups: step t touches only columns of group
+            # t % G, cutting the per-step neighbor gather (the measured
+            # bottleneck) by G×. Columns are dealt round-robin so each
+            # group holds a strength-balanced slice (rows are sorted
+            # strongest-first by the pruning above); fire events missed
+            # between visits are applied as catch-up bursts (exact total
+            # impulse, see _attractive_gradients).
+            k = P.shape[1]
+            W = -(-k // G)
+            pad = G * W - k
+            if pad:
+                P = jnp.concatenate([P, jnp.zeros((P.shape[0], pad), P.dtype)], 1)
+                NN = jnp.concatenate(
+                    [NN, jnp.full((NN.shape[0], pad), -1, NN.dtype)], 1
+                )
+            perm = jnp.argsort(jnp.arange(G * W) % G, stable=True)
+            P = P[:, perm]
+            NN = NN[:, perm]
+            consts["NN"] = NN
+            consts["P"] = P  # keep P/NN column-aligned for any consumer
+        consts["edge_group_width"] = W
+
         A_max = jnp.max(P)
         threshold = A_max / self.max_iter
         small = P <= threshold  # also covers the -1 padding slots (P == 0)
@@ -190,16 +220,32 @@ class UMAP(NegativeSamplingNeighborEmbedding):
     def _init_carry(self, consts):
         carry = super()._init_carry(consts)
         carry["epoch_of_next_sample"] = consts["epochs_per_sample"]
-        # Attraction computes the active-edge mask; repulsion consumes it.
-        carry["active_edges"] = jnp.zeros(consts["epochs_per_sample"].shape, bool)
+        # Attraction computes per-edge fire counts; repulsion consumes them.
+        W = consts["edge_group_width"]
+        carry["active_edges"] = jnp.zeros(
+            (consts["epochs_per_sample"].shape[0], W), jnp.float32
+        )
         return carry
 
     # --- closed-form gradients (reference: umap.py:236-292) ---
 
     def _attractive_gradients(self, Z, consts, carry, it, key):
+        G = max(1, self.edge_groups)
+        W = consts["edge_group_width"]
+        eons_full = carry["epoch_of_next_sample"]
+        eps_full = consts["epochs_per_sample"]
+        if G > 1:
+            g = jnp.mod(it, G)
+            NN = lax.dynamic_slice(
+                consts["NN"], (0, g * W), (consts["NN"].shape[0], W)
+            )
+            eons = lax.dynamic_slice(eons_full, (0, g * W), (eons_full.shape[0], W))
+            eps = lax.dynamic_slice(eps_full, (0, g * W), (eps_full.shape[0], W))
+        else:
+            NN, eons, eps = consts["NN"], eons_full, eps_full
+
         # Gathers dominate this step on TPU (random 8-byte rows); gather the
         # neighbor embeddings ONCE and derive distances from the same buffer.
-        NN = consts["NN"]
         diff = Z[:, None, :] - Z[jnp.maximum(NN, 0)]
         D = jnp.sum(diff * diff, axis=-1)
         positive = D > 0
@@ -210,14 +256,23 @@ class UMAP(NegativeSamplingNeighborEmbedding):
         )
         coef = jnp.where(positive, coef, 0.0)
 
-        # Per-edge update schedule: stronger edges fire more often.
-        eons = carry["epoch_of_next_sample"]
-        mask = eons <= jnp.asarray(it + 1, eons.dtype)
-        eons = jnp.where(mask, eons + consts["epochs_per_sample"], eons)
-        coef = jnp.where(mask, coef, 0.0)
+        # Per-edge update schedule: stronger edges fire more often. With
+        # edge groups, fires missed since the last visit are applied as one
+        # catch-up burst of count c = #{due fire events} — the integrated
+        # impulse matches the reference's every-step schedule exactly.
+        now = jnp.asarray(it + 1, eons.dtype)
+        due = now - eons
+        c = jnp.where(due >= 0, jnp.floor(due / eps) + 1.0, 0.0)
+        c = jnp.where(jnp.isfinite(eps), c, 0.0)
+        eons = eons + c * eps
+        coef = coef * c
 
         grad = jnp.clip(jnp.einsum("ijk,ij->ik", diff, coef), -4.0, 4.0)
-        carry = dict(carry, epoch_of_next_sample=eons, active_edges=mask)
+        if G > 1:
+            eons_full = lax.dynamic_update_slice(eons_full, eons, (0, g * W))
+        else:
+            eons_full = eons
+        carry = dict(carry, epoch_of_next_sample=eons_full, active_edges=c)
         return grad, carry
 
     def _repulsive_gradients(self, Z, consts, carry, it, key):

@@ -160,6 +160,44 @@ def knn_graph(
     return dists, indices
 
 
+def knn_graph_host_chunked(
+    X: jnp.ndarray,
+    Y: Optional[jnp.ndarray] = None,
+    k: int = 15,
+    query_chunk: int = 131_072,
+    **kwargs,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact kNN dispatched in host-level query chunks.
+
+    The axon TPU worker dies under single dispatches that keep the MXU
+    saturated for ≳30 s (measured: exact 1M×1M kNN crashes it at every
+    internal block size, while the same total work split across dispatches
+    survives). This wrapper slices the queries on the host so each jit
+    call stays short; results are bit-identical to :func:`knn_graph`.
+    """
+    n = X.shape[0]
+    self_mode = Y is None
+    Yc = X if self_mode else Y
+    if n <= query_chunk:
+        return knn_graph(X, Y, k=k, **kwargs)
+    exclude = kwargs.pop("exclude_diag", self_mode)
+    d_out, i_out = [], []
+    for s in range(0, n, query_chunk):
+        Xq = X[s : s + query_chunk]
+        d, i = knn_graph(
+            Xq, Yc, k=k + (1 if exclude else 0), exclude_diag=False, **kwargs
+        )
+        if exclude:
+            rows = s + jnp.arange(Xq.shape[0])
+            is_self = i == rows[:, None]
+            order = jnp.argsort(jnp.where(is_self, 1, 0), axis=1, stable=True)
+            d = jnp.take_along_axis(d, order, axis=1)[:, :k]
+            i = jnp.take_along_axis(i, order, axis=1)[:, :k]
+        d_out.append(d)
+        i_out.append(i)
+    return jnp.concatenate(d_out), jnp.concatenate(i_out)
+
+
 def pairwise_distances_indexed(
     X: jnp.ndarray,
     query_indices: Optional[jnp.ndarray] = None,

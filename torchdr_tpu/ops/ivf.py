@@ -44,11 +44,12 @@ from .kmeans import kmeans_fit
 
 class IVFIndex(NamedTuple):
     centroids: jnp.ndarray   # (ncells, d)
-    X_sorted: jnp.ndarray    # (n + chunk, d) database rows grouped by cell
-    ids_sorted: jnp.ndarray  # (n + chunk,) original row ids (-1 padding)
+    X_sorted: jnp.ndarray    # (n_pad + chunk, d) database rows grouped by cell
+    ids_sorted: jnp.ndarray  # (n_pad + chunk,) original row ids (-1 padding)
     offsets: jnp.ndarray     # (ncells,) start of each cell in X_sorted
     counts: jnp.ndarray      # (ncells,) cell sizes
     chunk: int               # probe granularity (static slice length)
+    n: int                   # number of real database rows
 
 
 def auto_nlist(n: int) -> int:
@@ -107,7 +108,7 @@ def ivf_build(
             .set(order.astype(jnp.int32))
         )
         offsets = jnp.asarray(offs_h, jnp.int32)
-        return IVFIndex(centroids, X_sorted, ids_sorted, offsets, counts, chunk)
+        return IVFIndex(centroids, X_sorted, ids_sorted, offsets, counts, chunk, n)
 
     offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
     X_sorted = X[order]
@@ -115,7 +116,7 @@ def ivf_build(
     # pad the tail so dynamic slices of length `chunk` never run off the end
     X_sorted = jnp.concatenate([X_sorted, jnp.zeros((chunk, d), X.dtype)], axis=0)
     ids_sorted = jnp.concatenate([ids_sorted, jnp.full((chunk,), -1, jnp.int32)])
-    return IVFIndex(centroids, X_sorted, ids_sorted, offsets, counts, chunk)
+    return IVFIndex(centroids, X_sorted, ids_sorted, offsets, counts, chunk, n)
 
 
 @jax.jit
@@ -258,7 +259,7 @@ def _ivf_search(
 
 
 def ivf_knn(
-    X: jnp.ndarray,
+    X: jnp.ndarray | None,
     k: int = 15,
     nprobe: int = 12,
     n_clusters: int | None = None,
@@ -288,9 +289,14 @@ def ivf_knn(
     """
     import numpy as np
 
-    n = X.shape[0]
     if index is None:
+        if X is None:
+            raise ValueError("[TorchDR-TPU] ERROR : pass X or a prebuilt index.")
         index = ivf_build(X, n_clusters=n_clusters, key=key)
+    # X itself is not needed beyond the build (the index holds the sorted
+    # rows); callers at memory-bound scales pass X=None with a prebuilt
+    # index so only one copy of the database is resident
+    n = index.n
     arrays = (
         index.centroids, index.X_sorted, index.ids_sorted, index.offsets, index.counts,
     )
@@ -327,7 +333,7 @@ def ivf_knn(
     )
     if n_pad != total:
         Qs = jnp.concatenate(
-            [Qs, jnp.full((n_pad - total, X.shape[1]), 1e12, X.dtype)]
+            [Qs, jnp.full((n_pad - total, Qs.shape[1]), 1e12, Qs.dtype)]
         )
         q_rows = jnp.concatenate(
             [q_rows, jnp.full((n_pad - total,), -2, jnp.int32)]
