@@ -34,6 +34,8 @@ def main():
         ("perpoint", dict(shared_negatives=False)),
         ("sharedS512", dict(shared_negatives=True, n_shared_negatives=512)),
         ("sharedS2048", dict(shared_negatives=True, n_shared_negatives=2048)),
+        ("S512_G4", dict(shared_negatives=True, n_shared_negatives=512,
+                         edge_groups=4)),
     ]:
         model = tdr.UMAP(n_neighbors=30, max_iter=500, random_state=0, **kw)
         t0 = time.perf_counter()
