@@ -362,6 +362,53 @@ class TestIVF:
 
         assert auto_nlist(1_000_000) > 100
 
+    def test_pallas_scan_matches_xla(self):
+        """Fused in-VMEM top-m (interpret mode) vs the XLA scan."""
+        from torchdr_tpu.ops.ivf import ivf_build, ivf_knn
+
+        rng = np.random.default_rng(0)
+        centers = rng.normal(scale=8.0, size=(16, 16)).astype(np.float32)
+        X = jnp.asarray(
+            centers[rng.integers(0, 16, 4000)]
+            + rng.normal(size=(4000, 16)).astype(np.float32)
+        )
+        index = ivf_build(X, n_clusters=24, kmeans_iters=8, chunk=128)
+        d1, i1 = ivf_knn(X, k=8, nprobe=8, index=index, scan_impl="xla")
+        d2, i2 = ivf_knn(X, k=8, nprobe=8, index=index, scan_impl="pallas")
+        # both probe the same cells; pallas selection is exact, xla's
+        # approx_min_k may differ in the margin — compare final neighbors
+        same = np.mean(np.asarray(i1) == np.asarray(i2))
+        assert same > 0.99
+        assert np.allclose(np.sort(d1, 1), np.sort(d2, 1), atol=1e-3)
+
+    def test_search_without_X(self):
+        from torchdr_tpu.ops.ivf import ivf_build, ivf_knn
+
+        X = jax.random.normal(jax.random.PRNGKey(0), (1000, 8))
+        index = ivf_build(X, n_clusters=16)
+        d1, i1 = ivf_knn(X, k=5, nprobe=4, index=index)
+        d2, i2 = ivf_knn(None, k=5, nprobe=4, index=index)
+        assert np.array_equal(np.asarray(i1), np.asarray(i2))
+
+
+class TestHostChunkedExact:
+    def test_matches_single_dispatch(self):
+        from torchdr_tpu.ops.distance import knn_graph_host_chunked
+
+        X = jax.random.normal(jax.random.PRNGKey(0), (900, 12))
+        d1, i1 = knn_graph(X, k=7)
+        d2, i2 = knn_graph_host_chunked(X, k=7, query_chunk=256)
+        assert np.array_equal(np.sort(i1, 1), np.sort(i2, 1))
+
+    def test_cross_mode(self):
+        from torchdr_tpu.ops.distance import knn_graph_host_chunked
+
+        X = jax.random.normal(jax.random.PRNGKey(1), (500, 8))
+        Y = jax.random.normal(jax.random.PRNGKey(2), (300, 8))
+        d1, i1 = knn_graph(X, Y, k=5, exclude_diag=False)
+        d2, i2 = knn_graph_host_chunked(X, Y, k=5, query_chunk=128)
+        assert np.array_equal(np.asarray(i1), np.asarray(i2))
+
 
 class TestPQ:
     """Product-quantization memory tier (reference role: Faiss IVFPQ,

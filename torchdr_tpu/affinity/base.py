@@ -91,15 +91,18 @@ class Affinity(BaseEstimator, ABC):
             if self.knn_mode == "ivf":
                 from ..ops.ivf import ivf_knn
 
-                if self.metric != "sqeuclidean":
+                if self.metric not in ("sqeuclidean", "euclidean"):
                     raise ValueError(
-                        "[TorchDR-TPU] ERROR : IVF tier supports sqeuclidean only."
+                        "[TorchDR-TPU] ERROR : IVF tier supports "
+                        "(sq)euclidean only."
                     )
                 C, indices = ivf_knn(
                     X, k=k, nprobe=self.knn_nprobe,
                     n_clusters=self.knn_n_clusters,
                     exclude_self=self.zero_diag,
                 )
+                if self.metric == "euclidean":
+                    C = jnp.sqrt(jnp.maximum(C, 0.0))
                 return (C, indices) if return_indices else C
             C, indices = knn_graph(
                 X,
