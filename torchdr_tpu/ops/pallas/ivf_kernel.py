@@ -126,9 +126,12 @@ def ivf_scan_block_pallas(
     block, d = Qb.shape
     W = Xg.shape[0]
     budget = W // chunk
+    # Mosaic supports only DEFAULT/HIGHEST dot precisions; "high" promotes
+    # to HIGHEST (the in-kernel selection is exact, so scan rank fidelity
+    # is the only precision question)
     prec = {
         "default": lax.Precision.DEFAULT,
-        "high": lax.Precision.HIGH,
+        "high": lax.Precision.HIGHEST,
         "highest": lax.Precision.HIGHEST,
     }[scan_precision]
 
