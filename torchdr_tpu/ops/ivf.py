@@ -100,13 +100,26 @@ def ivf_build(
         raw_offs = np.concatenate([[0], np.cumsum(counts_h)[:-1]])
         lab_sorted = np.asarray(labels)[np.asarray(order)]
         within = np.arange(n) - raw_offs[lab_sorted]
-        dest = jnp.asarray(offs_h[lab_sorted] + within, jnp.int32)
-        X_sorted = jnp.zeros((total + chunk, d), X.dtype).at[dest].set(X[order])
-        ids_sorted = (
-            jnp.full((total + chunk,), -1, jnp.int32)
-            .at[dest]
-            .set(order.astype(jnp.int32))
-        )
+        dest_h = offs_h[lab_sorted] + within
+        if n * d * 4 > 1 << 30:
+            # large builds: permute on the host — the device-side scatter
+            # holds X, X[order] and X_sorted at once (3× the dataset; OOMs
+            # at 10M×128 on a 16 GB chip)
+            order_h = np.asarray(order)
+            Xs_h = np.zeros((total + chunk, d), np.float32)
+            Xs_h[dest_h] = np.asarray(X)[order_h]
+            ids_h = np.full((total + chunk,), -1, np.int32)
+            ids_h[dest_h] = order_h
+            X_sorted = jnp.asarray(Xs_h)
+            ids_sorted = jnp.asarray(ids_h)
+        else:
+            dest = jnp.asarray(dest_h, jnp.int32)
+            X_sorted = jnp.zeros((total + chunk, d), X.dtype).at[dest].set(X[order])
+            ids_sorted = (
+                jnp.full((total + chunk,), -1, jnp.int32)
+                .at[dest]
+                .set(order.astype(jnp.int32))
+            )
         offsets = jnp.asarray(offs_h, jnp.int32)
         return IVFIndex(centroids, X_sorted, ids_sorted, offsets, counts, chunk, n)
 
