@@ -87,6 +87,13 @@ class Affinity(BaseEstimator, ABC):
         self, X: jnp.ndarray, k: Optional[int] = None, return_indices: bool = False
     ):
         """Pairwise distances; ``(n, k)`` kNN form when ``k`` is given."""
+        if self.metric in ("sqeuclidean", "euclidean"):
+            # Distances are translation invariant, but the norms+gram form
+            # ‖x‖²+‖y‖²−2⟨x,y⟩ cancels catastrophically in f32 when the data
+            # sits far from the origin (measured: a +100 shift perturbs SEA
+            # affinities by ~90% relative). Centering restores conditioning
+            # exactly; the reference inherits the flaw (torch cdist-form).
+            X = X - jnp.mean(X, axis=0, keepdims=True)
         if k is not None:
             if self.knn_mode == "ivf":
                 from ..ops.ivf import ivf_knn

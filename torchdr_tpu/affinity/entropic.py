@@ -31,9 +31,16 @@ def _log_Pe(C: jnp.ndarray, eps: jnp.ndarray) -> jnp.ndarray:
 
 
 def _log_Pse(C, eps, mu, eps_square: bool):
-    """SEA log-kernel (reference: torchdr/affinity/entropic.py:38-42)."""
+    """SEA log-kernel (reference: torchdr/affinity/entropic.py:38-42).
+
+    The denominator is clamped away from 0: the dual ascent can drive an
+    ε through ~0 mid-trajectory (measured: un-clamped, the solver NaNs
+    after ~1000 Adam steps), and ε→0 means a degenerate point whose
+    kernel should saturate, not explode.
+    """
     _eps = eps**2 if eps_square else eps
-    return (mu[:, None] + mu[None, :] - 2.0 * C) / (_eps[:, None] + _eps[None, :])
+    denom = jnp.maximum(_eps[:, None] + _eps[None, :], 1e-6)
+    return (mu[:, None] + mu[None, :] - 2.0 * C) / denom
 
 
 @jax.jit
