@@ -153,6 +153,7 @@ class UMAPAffinity(SparseAffinity):
         device: str = "auto",
         verbose: bool = False,
         symmetrize: bool = True,
+        max_degree: int | None = None,
         **kwargs,
     ):
         super().__init__(
@@ -166,6 +167,11 @@ class UMAPAffinity(SparseAffinity):
         self.n_neighbors = n_neighbors
         self.max_iter = max_iter
         self.symmetrize = symmetrize
+        # Hub points in high-d kNN graphs can have in-degree in the
+        # thousands; an uncapped fuzzy-union width is O(n·max_in_degree)
+        # memory (overflows/OOMs at 1M+). The cap keeps the STRONGEST
+        # edges per row (value-priority packing in symmetrize_sparse).
+        self.max_degree = max_degree
 
     def _compute_sparse_affinity(self, X, return_indices: bool = True, **kwargs):
         n = X.shape[0]
@@ -183,7 +189,12 @@ class UMAPAffinity(SparseAffinity):
 
         if self.symmetrize:
             if self.sparsity:
-                P, indices = symmetrize_sparse(P, indices, mode="sum_minus_prod")
+                k_out = None
+                if self.max_degree is not None:
+                    k_out = max(8, -(-int(self.max_degree) // 8) * 8)
+                P, indices = symmetrize_sparse(
+                    P, indices, mode="sum_minus_prod", k_out=k_out
+                )
             else:
                 P = P + P.T - P * P.T
 

@@ -83,6 +83,7 @@ class AffinityMatcher(DRModule):
         distributed: Union[bool, str] = False,
         mesh=None,
         encoder=None,
+        max_iters_per_dispatch: Optional[int] = None,
         **kwargs,
     ):
         super().__init__(
@@ -121,6 +122,11 @@ class AffinityMatcher(DRModule):
         self.distributed = distributed
         self.mesh = mesh
         self.encoder = encoder
+        # Split the compiled loop into bounded-duration dispatches (same
+        # compiled program, a host sync per segment). The axon TPU worker
+        # dies under single dispatches that saturate the chip for minutes;
+        # set this for very long fits on large n.
+        self.max_iters_per_dispatch = max_iters_per_dispatch
 
         # Early-exaggeration plan; overridden by NeighborEmbedding.
         self._ee_coeff = 1.0
@@ -444,7 +450,7 @@ class AffinityMatcher(DRModule):
         # torchdr/affinity_matcher.py:374-394).
         encoder = self.encoder
 
-        def run(state0, consts_arrays):
+        def run(state0, consts_arrays, it_end):
             consts = {**constrain_rows(consts_arrays), **static_consts}
 
             def to_Z(theta):
@@ -471,7 +477,7 @@ class AffinityMatcher(DRModule):
 
             def cond(state):
                 it, theta, opt_state, key, carry, gn, done = state
-                return jnp.logical_and(it < max_iter, jnp.logical_not(done))
+                return jnp.logical_and(it < it_end, jnp.logical_not(done))
 
             def body(state):
                 it, theta, opt_state, key, carry, gn, done = state
@@ -497,8 +503,8 @@ class AffinityMatcher(DRModule):
                 done = jnp.logical_and(it % check_interval == 0, gn < min_grad_norm)
                 return it + 1, theta_new, opt_state, key, carry, gn, done
 
-            it, theta, _, _, carry, gn, _ = lax.while_loop(cond, body, state0)
-            return it, theta, to_Z(theta), carry, gn
+            state = lax.while_loop(cond, body, state0)
+            return state, to_Z(state[1])
 
         theta0 = self._encoder_variables0_ if encoder is not None else Z0
         state0 = (
@@ -525,7 +531,24 @@ class AffinityMatcher(DRModule):
         cached = getattr(self, "_compiled_run_", None)
         if cached is None or cached[0] != cache_key:
             self._compiled_run_ = (cache_key, jax.jit(run))
-        it, theta, Z, carry, gn = self._compiled_run_[1](state0, array_consts)
+        runj = self._compiled_run_[1]
+
+        seg = self.max_iters_per_dispatch
+        if seg is None:
+            state, Z = runj(state0, array_consts, jnp.asarray(max_iter, jnp.int32))
+        else:
+            # bounded-duration dispatches: one host sync per segment
+            state = state0
+            done_it = 0
+            while done_it < max_iter:
+                it_end = min(done_it + int(seg), max_iter)
+                state, Z = runj(
+                    state, array_consts, jnp.asarray(it_end, jnp.int32)
+                )
+                done_it = int(state[0])
+                if bool(state[6]) or done_it >= max_iter:
+                    break
+        it, theta, carry, gn = state[0], state[1], state[4], state[5]
         if encoder is not None:
             self.encoder_variables_ = theta
         self._final_carry_ = jax.tree_util.tree_map(lambda x: x, carry)

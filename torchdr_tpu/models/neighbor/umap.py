@@ -117,6 +117,7 @@ class UMAP(NegativeSamplingNeighborEmbedding):
             sparsity=True,
             knn_mode=knn_mode,
             knn_precision=knn_precision,
+            max_degree=self.max_graph_degree,
         )
         super().__init__(
             affinity_in=affinity_in,

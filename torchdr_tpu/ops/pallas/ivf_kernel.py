@@ -85,17 +85,28 @@ def _scan_kernel(
         cur_s = acc_s[:]
         cur_p = acc_p[:]
         mcols = lax.broadcasted_iota(jnp.int32, cur_s.shape, 1)
+        big = jnp.int32(2**30)
+
         # m rounds of extract-min over the tile, each immediately replacing
-        # the running buffer's current worst entry when it improves on it
+        # the running buffer's current worst entry when it improves on it.
+        # arg-extraction is expressed as min-of-masked-iota (first match) —
+        # only min/max/where reductions, which Mosaic lowers natively.
+        # Unrolled Python loop (fori_loop carries crash the Mosaic
+        # compiler here); the enlarged vmem_limit_bytes below covers the
+        # unrolled live range.
         for _ in range(m):
             mn = jnp.min(t_s, axis=1, keepdims=True)  # (block, 1)
-            am = jnp.argmin(t_s, axis=1)              # (block,)
-            t_s = jnp.where(cols == am[:, None], MASK, t_s)
+            am = jnp.min(
+                jnp.where(t_s == mn, cols, big), axis=1, keepdims=True
+            )  # (block, 1) argmin
+            t_s = jnp.where(cols == am, MASK, t_s)
             w = jnp.max(cur_s, axis=1, keepdims=True)
-            aw = jnp.argmax(cur_s, axis=1)
-            take = (mn < w) & (mcols == aw[:, None])  # (block, m)
+            aw = jnp.min(
+                jnp.where(cur_s == w, mcols, big), axis=1, keepdims=True
+            )  # (block, 1) argmax position
+            take = (mn < w) & (mcols == aw)           # (block, m)
             cur_s = jnp.where(take, mn, cur_s)
-            cur_p = jnp.where(take, base + am[:, None], cur_p)
+            cur_p = jnp.where(take, base + am, cur_p)
         acc_s[:] = cur_s
         acc_p[:] = cur_p
 
@@ -156,6 +167,11 @@ def ivf_scan_block_pallas(
             pltpu.VMEM((block, m), jnp.float32),
             pltpu.VMEM((block, m), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # the unrolled m-round extraction keeps ~m tile-sized values
+            # live; the default 16M scoped-VMEM budget is too small
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(
         Qb,

@@ -125,7 +125,17 @@ def _symmetrize_sparse_impl(
     else:
         v_comb = vP + vPT - vP * vPT
 
-    # Pack heads row-wise. Heads are sorted by (row, col) already.
+    # Pack heads row-wise, strongest value first: when k_out caps the
+    # width, overflow drops the WEAKEST edges of hub rows (an arbitrary
+    # column-order drop measurably hurts hub-heavy high-d graphs). Two
+    # stable argsorts put heads in (row, -value) order; non-heads sort
+    # behind every head of their row.
+    sort_v = jnp.where(is_head, -v_comb, jnp.inf)
+    o3 = jnp.argsort(sort_v, stable=True)
+    er2, ec2, v2, is_head2 = er[o3], ec[o3], v_comb[o3], is_head[o3]
+    o4 = jnp.argsort(jnp.where(is_head2, er2, n), stable=True)
+    er, ec, v_comb, is_head = er2[o4], ec2[o4], v2[o4], is_head2[o4]
+
     head_rank = jnp.cumsum(is_head.astype(jnp.int32)) - 1  # rank among heads
     # First head rank per row (scatter-min).
     row_start = jnp.full((n,), m, jnp.int32)
