@@ -29,7 +29,7 @@ def main():
     X = centers[lab] + rng.normal(size=(50_000, 32)).astype(np.float32)
 
     model = tdr.COSNE(perplexity=30, max_iter=250, lr=1e-1, random_state=0,
-                      block_size=2048)
+                      block_size=2048, max_iters_per_dispatch=25)
     t0 = time.perf_counter()
     Z = np.asarray(model.fit_transform(X))
     cold = time.perf_counter() - t0

@@ -47,7 +47,7 @@ def main():
         return float(np.mean([len(set(ig[j]) & set(i_true[j])) / K for j in range(SUB)]))
 
     t0 = time.perf_counter()
-    idx = ivf_build(X, n_clusters=1024, kmeans_iters=20)
+    idx = ivf_build(X, n_clusters=1024, kmeans_iters=20, chunk=256)
     log(step="build", nlist=1024, build_s=round(time.perf_counter() - t0, 2),
         n_pad=int(idx.X_sorted.shape[0]))
 
