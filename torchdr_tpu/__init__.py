@@ -61,13 +61,20 @@ from .ops import (
     EXACT,
     FAST,
     IVF,
+    ivf_build,
     ivf_knn,
+    kmeans_fit,
     KnnConfig,
     knn_graph,
     knn_graph_from_batches,
     pairwise_distances,
     pairwise_distances_indexed,
+    pq_encode,
+    pq_knn,
+    pq_search,
+    pq_train,
 )
+from .ops.distance import knn_graph_host_chunked
 
 __all__ = [
     "Affinity", "LogAffinity", "SparseAffinity", "SparseLogAffinity",
@@ -80,6 +87,9 @@ __all__ = [
     "PCA", "SNE", "TSNE", "UMAP", "LargeVis", "InfoTSNE", "TSNEkhorn", "PACMAP", "COSNE", "KernelPCA", "PHATE", "IncrementalPCA", "ExactIncrementalPCA",
     "DoublyStochasticQuadraticAffinity",
     "MAGICAffinity", "PACMAPAffinity", "PHATEAffinity", "SelfTuningAffinity", "UMAPAffinity",
-    "knn_graph", "pairwise_distances", "pairwise_distances_indexed",
-    "KnnConfig", "EXACT", "FAST", "IVF", "ivf_knn", "knn_graph_from_batches",
+    "knn_graph", "knn_graph_host_chunked", "pairwise_distances",
+    "pairwise_distances_indexed",
+    "KnnConfig", "EXACT", "FAST", "IVF", "ivf_build", "ivf_knn",
+    "kmeans_fit", "knn_graph_from_batches",
+    "pq_train", "pq_encode", "pq_search", "pq_knn",
 ]
