@@ -152,11 +152,12 @@ def _assign_blockwise(X, centroids, block: int = 4096):
     jax.jit,
     static_argnames=(
         "k", "ncells", "budget", "block", "chunk", "m", "scan_precision", "scan_impl",
+        "merge",
     ),
 )
 def _ivf_search(
     Qs, q_rows, index_arrays, k, ncells, budget, block, chunk, m, scan_precision,
-    scan_impl="xla",
+    scan_impl="xla", merge="approx",
 ):
     """The probe kernel. See the module docstring for the design rationale.
 
@@ -170,8 +171,11 @@ def _ivf_search(
     nlist = centroids.shape[0]
     n_total = X_sorted.shape[0] - chunk  # valid rows (tail is padding)
     c_norm = jnp.sum(centroids * centroids, axis=-1)
-    x_norms = jnp.sum(X_sorted * X_sorted, axis=-1)
     per_query_probes = max(2, min(nlist, ncells // 2))
+    aligned = n_total % chunk == 0
+    if aligned:
+        X_r = X_sorted[:n_total].reshape(n_total // chunk, chunk, X_sorted.shape[1])
+        ids_r = ids_sorted[:n_total].reshape(n_total // chunk, chunk)
     prec = {
         "default": lax.Precision.DEFAULT,
         "high": lax.Precision.HIGH,
@@ -229,8 +233,18 @@ def _ivf_search(
         # measured per-slot XLA overhead (~15 µs: fusion boundaries +
         # dynamic_update_slice handling) was the kernel's cost floor.
         row_idx = (slot_start[:, None] + jnp.arange(chunk)[None, :]).reshape(-1)
-        Xg_all = X_sorted[row_idx]      # (budget·chunk, d)
-        idg = ids_sorted[row_idx]       # (budget·chunk,)
+        if aligned:
+            # chunk-aligned layout: gather WHOLE chunks (contiguous 100KB+
+            # runs lower far better than a row gather of the same bytes).
+            # Dead slots point past the last chunk — clamp: jnp.take's
+            # default out-of-bounds FILL is NaN, which poisons the whole
+            # buffer's reductions (their columns are masked regardless).
+            cid = jnp.minimum(slot_start // chunk, n_total // chunk - 1)
+            Xg_all = jnp.take(X_r, cid, axis=0).reshape(-1, X_sorted.shape[1])
+            idg = jnp.take(ids_r, cid, axis=0).reshape(-1)
+        else:
+            Xg_all = X_sorted[row_idx]  # (budget·chunk, d)
+            idg = ids_sorted[row_idx]
         col_dead = (
             jnp.arange(chunk)[None, :] >= slot_valid[:, None]
         ).reshape(-1)
@@ -248,14 +262,21 @@ def _ivf_search(
             )
             pos = row_idx[jnp.maximum(p, 0)]
         else:
-            ng = x_norms[row_idx]
+            ng = jnp.sum(Xg_all * Xg_all, axis=-1)  # consistent with the
+            # gathered rows by construction (and cheaper than a row gather)
             g = jnp.matmul(
                 Qb, Xg_all.T, preferred_element_type=jnp.float32, precision=prec
             )
             sc = ng[None, :] - 2.0 * g  # rank-equivalent within each row
             invalid = (idg[None, :] < 0) | (idg[None, :] == rows[:, None])
             buf = sc + MASK_VALUE * invalid.astype(sc.dtype)
-            vals, cidx = lax.approx_min_k(buf, m, recall_target=0.99)
+            if merge == "exact":
+                # approx_min_k's ~(1-recall_target) per-item loss is its
+                # contract; ≥99.9% end-to-end recall needs exact selection
+                neg, cidx = lax.top_k(-buf, m)
+                vals = -neg
+            else:
+                vals, cidx = lax.approx_min_k(buf, m, recall_target=0.99)
             pos = row_idx[cidx]         # (block, m): direct flat mapping
 
         # exact f32 re-rank of the m survivors (difference form: fused VPU,
@@ -284,6 +305,7 @@ def ivf_knn(
     scan_precision: str = "high",
     budget: int | None = None,
     scan_impl: str = "xla",
+    merge: str = "approx",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Approximate self-kNN of X through an IVF index.
 
@@ -354,7 +376,7 @@ def ivf_knn(
 
     d, i = _ivf_search(
         Qs, q_rows, arrays, k, nprobe, budget, block, chunk, m_eff,
-        scan_precision, scan_impl,
+        scan_precision, scan_impl, merge,
     )
     # scatter back to original row order; dead rows land in the spill slot
     scatter_ids = jnp.where(out_ids >= 0, out_ids, n)
