@@ -152,12 +152,12 @@ def _assign_blockwise(X, centroids, block: int = 4096):
     jax.jit,
     static_argnames=(
         "k", "ncells", "budget", "block", "chunk", "m", "scan_precision", "scan_impl",
-        "merge",
+        "merge", "max_ch",
     ),
 )
 def _ivf_search(
     Qs, q_rows, index_arrays, k, ncells, budget, block, chunk, m, scan_precision,
-    scan_impl="xla", merge="approx",
+    scan_impl="xla", merge="approx", max_ch=None,
 ):
     """The probe kernel. See the module docstring for the design rationale.
 
@@ -172,6 +172,8 @@ def _ivf_search(
     n_total = X_sorted.shape[0] - chunk  # valid rows (tail is padding)
     c_norm = jnp.sum(centroids * centroids, axis=-1)
     per_query_probes = max(2, min(nlist, ncells // 2))
+    if max_ch is None:
+        max_ch = max(1, -(-int(budget) // max(1, ncells)) + 3)
     aligned = n_total % chunk == 0
     if aligned:
         X_r = X_sorted[:n_total].reshape(n_total // chunk, chunk, X_sorted.shape[1])
@@ -208,7 +210,6 @@ def _ivf_search(
         # tight budget truncates the deep tails of big low-priority cells
         # instead of dropping whole cells. All in (ncells · max_ch)-sized
         # index arithmetic; every scanned slot is productive.
-        max_ch = max(1, -(-int(budget) // max(1, ncells)) + 3)
         cnts = counts[cells]                              # (ncells,)
         nch = (cnts + (chunk - 1)) // chunk               # chunks per cell
         ci_g = jnp.tile(jnp.arange(ncells, dtype=jnp.int32), max_ch)
@@ -338,11 +339,11 @@ def ivf_knn(
     chunk = index.chunk
     ncells_total = int(index.offsets.shape[0])
     nprobe = min(nprobe, ncells_total)
+    counts_h = np.asarray(index.counts, np.float64)
     if budget is None:
         # expected chunks over the probed cells: cells are probed roughly
         # in proportion to their mass (queries live inside them), so use
         # the size-biased mean of per-cell chunk counts, plus slack
-        counts_h = np.asarray(index.counts, np.float64)
         total = counts_h.sum()
         if total > 0:
             sb_chunks = float(
@@ -374,9 +375,13 @@ def ivf_knn(
             [q_rows, jnp.full((n_pad - total,), -2, jnp.int32)]
         )
 
+    # expansion depth must cover the BIGGEST cell, or large home cells
+    # silently lose their tail chunks (observed as recall stuck across
+    # nprobe increases)
+    max_ch = int(np.ceil(float(np.max(counts_h)) / chunk)) if counts_h.size else 1
     d, i = _ivf_search(
         Qs, q_rows, arrays, k, nprobe, budget, block, chunk, m_eff,
-        scan_precision, scan_impl, merge,
+        scan_precision, scan_impl, merge, max_ch,
     )
     # scatter back to original row order; dead rows land in the spill slot
     scatter_ids = jnp.where(out_ids >= 0, out_ids, n)
