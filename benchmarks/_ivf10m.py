@@ -62,12 +62,12 @@ def main():
         try:
             t0 = time.perf_counter()
             d, i = ivf_knn(None, k=K, index=idx, nprobe=nprobe, m=32,
-                           scan_precision="high")
+                           scan_precision="high", merge="exact")
             force(d)
             cold = time.perf_counter() - t0
             t0 = time.perf_counter()
             d, i = ivf_knn(None, k=K, index=idx, nprobe=nprobe, m=32,
-                           scan_precision="high")
+                           scan_precision="high", merge="exact")
             force(d)
             warm = time.perf_counter() - t0
             log(step="search", nprobe=nprobe, cold_s=round(cold, 1),

@@ -35,7 +35,7 @@ def main():
         n_neighbors=30, max_iter=500, random_state=0,
         knn_mode=tdr.KnnConfig(mode="ivf", nprobe=16),
         shared_negatives=True, n_shared_negatives=512,
-        max_iters_per_dispatch=100,
+        edge_groups=4, max_iters_per_dispatch=20,
     )
     t0 = time.perf_counter()
     Z = np.asarray(model.fit_transform(X))
