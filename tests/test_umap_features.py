@@ -1,0 +1,158 @@
+"""UMAP round-2 features: shared negatives, edge groups, degree capping."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import torchdr_tpu as tdr
+
+
+@pytest.fixture(scope="module")
+def blobs():
+    rng = np.random.default_rng(0)
+    centers = rng.normal(scale=8.0, size=(4, 10))
+    X = np.concatenate(
+        [c + rng.normal(size=(60, 10)) for c in centers]
+    ).astype(np.float32)
+    y = np.repeat(np.arange(4), 60)
+    return X, y
+
+
+class TestSharedNegatives:
+    def test_quality_parity_with_perpoint(self, blobs):
+        X, y = blobs
+        s_shared = tdr.silhouette_score(
+            np.asarray(
+                tdr.UMAP(n_neighbors=12, max_iter=300, random_state=0,
+                         shared_negatives=True).fit_transform(X)
+            ), y,
+        )
+        s_pp = tdr.silhouette_score(
+            np.asarray(
+                tdr.UMAP(n_neighbors=12, max_iter=300, random_state=0,
+                         shared_negatives=False).fit_transform(X)
+            ), y,
+        )
+        assert s_shared > 0.8 and s_pp > 0.8
+
+    def test_custom_S(self, blobs):
+        X, y = blobs
+        Z = tdr.UMAP(n_neighbors=12, max_iter=100, random_state=0,
+                     n_shared_negatives=64).fit_transform(X)
+        assert np.isfinite(np.asarray(Z)).all()
+
+    def test_largevis_and_infotsne_shared(self, blobs):
+        X, y = blobs
+        for cls, kw in [
+            (tdr.LargeVis, dict(perplexity=12)),
+            (tdr.InfoTSNE, dict(perplexity=12, n_negatives=40)),
+        ]:
+            Z = cls(max_iter=200, random_state=0, shared_negatives=True,
+                    **kw).fit_transform(X)
+            assert tdr.silhouette_score(np.asarray(Z), y) > 0.5
+
+    def test_shared_negative_force_is_unbiased(self):
+        """The shared estimator's expected repulsive gradient must match the
+        full (all-pairs) gradient: average many shared samples and compare
+        to the exhaustive negative set."""
+        from torchdr_tpu.models.neighbor.umap import UMAP
+
+        rng = np.random.default_rng(0)
+        n = 64
+        model = UMAP(n_neighbors=8, max_iter=10, random_state=0)
+        model._a, model._b = 1.5, 0.9
+        # spread Z out so per-pair coefficients are small and the ±4 clip
+        # (which breaks naive expectation comparisons) never activates
+        Z = jnp.asarray(5.0 * rng.normal(size=(n, 2)).astype(np.float32))
+        consts = {"n": n}
+        neg_counts = jnp.full((n,), 5.0)
+        carry = {"active_edges": jnp.ones((n, 1)) * 5.0}
+        model.negative_sample_rate = 1  # counts already folded in
+
+        # exhaustive "sample": every point as negative, weight 5/n each
+        model.n_shared_negatives = None
+
+        def exhaustive():
+            D = jnp.sum((Z[:, None, :] - Z[None, :, :]) ** 2, -1)
+            coef = -2.0 * model._b / (
+                (D + model._eps) * (1.0 + model._a * D**model._b)
+            )
+            coef = jnp.where(jnp.eye(n, dtype=bool), 0.0, coef)
+            coef = coef * (5.0 / n)
+            return jnp.clip(
+                jnp.sum(coef, 1)[:, None] * Z - coef @ Z, -4.0, 4.0
+            )
+
+        g_true = exhaustive()
+        model.n_shared_negatives = 64
+        acc = jnp.zeros_like(Z)
+        reps = 300
+        for r in range(reps):
+            g, _ = model._repulsive_gradients(
+                Z, consts, carry, 0, jax.random.PRNGKey(r)
+            )
+            acc = acc + g
+        g_mean = acc / reps
+        # unbiasedness up to Monte-Carlo error (clip is rarely active here)
+        scale = float(jnp.abs(g_true).max())
+        assert float(jnp.abs(g_mean - g_true).max()) < 0.2 * scale + 1e-4
+
+
+class TestEdgeGroups:
+    def test_g1_matches_legacy_semantics(self, blobs):
+        """edge_groups=1 must reproduce the ungrouped schedule exactly
+        (same seed → same embedding)."""
+        X, y = blobs
+        Z1 = np.asarray(
+            tdr.UMAP(n_neighbors=12, max_iter=150, random_state=0,
+                     edge_groups=1).fit_transform(X)
+        )
+        Z2 = np.asarray(
+            tdr.UMAP(n_neighbors=12, max_iter=150, random_state=0).fit_transform(X)
+        )
+        assert np.allclose(Z1, Z2, atol=1e-6)
+
+    @pytest.mark.parametrize("G", [2, 4])
+    def test_quality_holds_on_clustered_data(self, blobs, G):
+        X, y = blobs
+        Z = tdr.UMAP(n_neighbors=12, max_iter=300, random_state=0,
+                     edge_groups=G).fit_transform(X)
+        assert tdr.silhouette_score(np.asarray(Z), y) > 0.8
+
+    def test_catchup_counts(self):
+        """A group visited every G steps must fire ⌈due/eps⌉ bursts so the
+        integrated impulse matches the every-step schedule."""
+        from torchdr_tpu.models.neighbor.umap import UMAP
+
+        m = UMAP(n_neighbors=4, max_iter=100, random_state=0, edge_groups=2)
+        eps = jnp.asarray([[1.0, 2.5, jnp.inf, 4.0]])
+        eons = eps  # schedule starts at eps
+        # visit at it=7 (now=8): fires = #{k ≥ 1 : k·eps ≤ 8}
+        due = 8.0 - eons
+        c = jnp.where(due >= 0, jnp.floor(due / eps) + 1.0, 0.0)
+        c = jnp.where(jnp.isfinite(eps), c, 0.0)
+        assert np.allclose(np.asarray(c)[0], [8.0, 3.0, 0.0, 2.0])
+
+
+class TestDegreeCap:
+    def test_max_graph_degree_bounds_width(self, blobs):
+        X, y = blobs
+        m = tdr.UMAP(n_neighbors=12, max_iter=20, random_state=0,
+                     max_graph_degree=16)
+        m.n_samples_in_, m.n_features_in_ = X.shape
+        m._compute_input_affinity(jnp.asarray(X))
+        m.on_affinity_computation_end()
+        assert m.NN_indices_.shape[1] <= 16
+
+    def test_affinity_level_cap(self, blobs):
+        from torchdr_tpu.affinity import UMAPAffinity
+
+        X, y = blobs
+        vals, idx = UMAPAffinity(n_neighbors=12, max_degree=16)(
+            X, return_indices=True
+        )
+        assert idx.shape[1] <= 16
+        # capped rows keep their strongest edges: values sorted desc-ish
+        v = np.asarray(vals)
+        assert (v[:, 0] + 1e-6 >= v[:, -1]).all()
