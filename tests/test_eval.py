@@ -66,3 +66,56 @@ class TestKmeansARI:
         assert tdr.adjusted_rand_index(y, noisy) == pytest.approx(
             adjusted_rand_score(y, noisy), abs=1e-9
         )
+
+
+class TestSilhouetteDepth:
+    """Weighted / metric variants (reference: eval/silhouette.py:21-262)."""
+
+    def test_weighted_uniform_matches_unweighted(self, toy_blobs):
+        X, y = toy_blobs
+        from torchdr_tpu.eval.silhouette import silhouette_score
+
+        w = np.ones(X.shape[0], np.float32)
+        s1 = silhouette_score(X, y)
+        s2 = silhouette_score(X, y, weights=w)
+        assert abs(s1 - s2) < 1e-5
+
+    def test_sqeuclidean_metric(self, toy_blobs):
+        X, y = toy_blobs
+        from sklearn.metrics import silhouette_score as sk
+
+        ours = tdr.silhouette_score(X, y, metric="sqeuclidean")
+        theirs = sk(X, y, metric="sqeuclidean")
+        assert abs(ours - theirs) < 1e-3
+
+    def test_two_points_per_cluster(self):
+        X = np.array([[0, 0], [0.1, 0], [5, 5], [5.1, 5]], np.float32)
+        y = np.array([0, 0, 1, 1])
+        assert tdr.silhouette_score(X, y) > 0.9
+
+    def test_single_cluster_raises(self):
+        # sklearn contract: silhouette needs >= 2 labels
+        X = np.random.default_rng(0).normal(size=(20, 3)).astype(np.float32)
+        y = np.zeros(20, int)
+        with pytest.raises(ValueError, match="2 labels"):
+            tdr.silhouette_samples(X, y)
+
+
+class TestPerSampleContracts:
+    def test_knn_accuracy_per_sample(self, toy_blobs):
+        X, y = toy_blobs
+        per = tdr.knn_label_accuracy(X, y, k=5, return_per_sample=True)
+        assert per.shape == (X.shape[0],)
+        assert float(per.min()) >= 0.0 and float(per.max()) <= 1.0
+
+    def test_preservation_per_sample_mean_matches(self, toy_blobs):
+        X, y = toy_blobs
+        Z = tdr.PCA(n_components=2).fit_transform(X)
+        per = tdr.neighborhood_preservation(X, Z, K=8, return_per_sample=True)
+        total = tdr.neighborhood_preservation(X, Z, K=8)
+        assert abs(float(np.mean(np.asarray(per))) - total) < 1e-6
+
+    def test_knn_recall_helper(self):
+        true = np.array([[1, 2, 3], [4, 5, 6]])
+        pred = np.array([[1, 2, 9], [6, 5, 4]])
+        assert tdr.knn_recall(pred, true) == pytest.approx((2 / 3 + 1.0) / 2)

@@ -74,6 +74,11 @@ def silhouette_samples(
     X, _ = to_jax(X)
     labels = jnp.asarray(labels)
     uniq, inv = jnp.unique(jnp.asarray(labels), return_inverse=True)
+    if int(uniq.shape[0]) < 2:
+        raise ValueError(
+            "[TorchDR-TPU] ERROR : silhouette requires at least 2 labels "
+            f"(got {int(uniq.shape[0])})."
+        )
     w = None if weights is None else jnp.asarray(weights, X.dtype)
     return _silhouette_samples(X, inv.reshape(-1), w, metric, int(uniq.shape[0]))
 
