@@ -234,6 +234,44 @@ def _ivf_search(
         # measured per-slot XLA overhead (~15 µs: fusion boundaries +
         # dynamic_update_slice handling) was the kernel's cost floor.
         row_idx = (slot_start[:, None] + jnp.arange(chunk)[None, :]).reshape(-1)
+        if scan_impl == "slices":
+            # dynamic-slice scan: the only formulation the TPU AOT compiler
+            # accepts for databases over 4 GB (chunked jnp.take from such a
+            # buffer crashes it; plain dynamic slices and small row gathers
+            # are fine). ~1 s slower than the flat-gather path at 1M.
+            def scan_slot(s, bufc):
+                start = slot_start[s]
+                Xc = lax.dynamic_slice_in_dim(X_sorted, start, chunk, 0)
+                idc = lax.dynamic_slice_in_dim(ids_sorted, start, chunk, 0)
+                gg = jnp.matmul(
+                    Qb, Xc.T, preferred_element_type=jnp.float32, precision=prec
+                )
+                scx = jnp.sum(Xc * Xc, -1)[None, :] - 2.0 * gg
+                inv = (
+                    (jnp.arange(chunk)[None, :] >= slot_valid[s])
+                    | (idc[None, :] < 0)
+                    | (idc[None, :] == rows[:, None])
+                )
+                scx = scx + MASK_VALUE * inv.astype(scx.dtype)
+                return lax.dynamic_update_slice(bufc, scx, (0, s * chunk))
+
+            buf = lax.fori_loop(
+                0, budget, scan_slot,
+                jnp.full((block, budget * chunk), MASK_VALUE, jnp.float32),
+            )
+            if merge == "exact":
+                neg, cidx = lax.top_k(-buf, m)
+                vals = -neg
+            else:
+                vals, cidx = lax.approx_min_k(buf, m, recall_target=0.99)
+            pos = row_idx[cidx]
+            Xg = X_sorted[pos]
+            diff = Qb[:, None, :] - Xg
+            D2 = jnp.sum(diff * diff, axis=-1)
+            D2 = jnp.where(vals >= MASK_VALUE * 0.5, MASK_VALUE, D2)
+            negk, sel = lax.top_k(-D2, k)
+            return -negk, ids_sorted[jnp.take_along_axis(pos, sel, axis=1)]
+
         if aligned:
             # chunk-aligned layout: gather WHOLE chunks (contiguous 100KB+
             # runs lower far better than a row gather of the same bytes).
@@ -379,6 +417,9 @@ def ivf_knn(
     # silently lose their tail chunks (observed as recall stuck across
     # nprobe increases)
     max_ch = int(np.ceil(float(np.max(counts_h)) / chunk)) if counts_h.size else 1
+    if scan_impl == "xla" and index.X_sorted.nbytes > (4 << 30):
+        scan_impl = "slices"  # chunked takes from >4GB buffers crash the
+        # TPU AOT compiler; dynamic slices compile at any size
     d, i = _ivf_search(
         Qs, q_rows, arrays, k, nprobe, budget, block, chunk, m_eff,
         scan_precision, scan_impl, merge, max_ch,
