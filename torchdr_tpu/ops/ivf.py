@@ -63,7 +63,7 @@ def ivf_build(
     key=None,
     train_size: int = 25_600,
     kmeans_iters: int = 25,
-    chunk: int = 512,
+    chunk: int | None = None,
     align: bool = True,
 ) -> IVFIndex:
     """Build the inverted file index (host-synced shapes; build once).
@@ -77,6 +77,11 @@ def ivf_build(
     n, d = X.shape
     nlist = n_clusters or auto_nlist(n)
     key = key if key is not None else jax.random.PRNGKey(0)
+    if chunk is None:
+        # probe granularity ~ the mean cell size (aligned-pad waste and
+        # per-slot masking both grow when chunk >> cell)
+        mean_cell = max(1, n // max(1, nlist))
+        chunk = int(min(512, max(64, -(-int(1.3 * mean_cell) // 64) * 64)))
     chunk = min(chunk, max(64, n))
 
     # Faiss guidance: ≥39 training points per centroid; thin samples give
@@ -174,7 +179,7 @@ def _ivf_search(
     per_query_probes = max(2, min(nlist, ncells // 2))
     if max_ch is None:
         max_ch = max(1, -(-int(budget) // max(1, ncells)) + 3)
-    aligned = n_total % chunk == 0
+    aligned = n_total % chunk == 0 and scan_impl != "slices"
     if aligned:
         X_r = X_sorted[:n_total].reshape(n_total // chunk, chunk, X_sorted.shape[1])
         ids_r = ids_sorted[:n_total].reshape(n_total // chunk, chunk)
@@ -328,7 +333,10 @@ def _ivf_search(
         return -negk, ids_sorted[jnp.take_along_axis(pos, sel, axis=1)]
 
     d, i = lax.map(process, jnp.arange(n_blocks))
-    return d.reshape(-1, k), i.reshape(-1, k)
+    # NOTE: returned 3D (n_blocks, block, k); the caller reshapes OUTSIDE
+    # the jit — reshaping BOTH outputs inside this program crashes the TPU
+    # AOT compiler at ≳10M-row shapes (bisected; either alone compiles)
+    return d, i
 
 
 def ivf_knn(
@@ -424,6 +432,8 @@ def ivf_knn(
         Qs, q_rows, arrays, k, nprobe, budget, block, chunk, m_eff,
         scan_precision, scan_impl, merge, max_ch,
     )
+    d = d.reshape(-1, k)
+    i = i.reshape(-1, k)
     # scatter back to original row order; dead rows land in the spill slot
     scatter_ids = jnp.where(out_ids >= 0, out_ids, n)
     out_d = jnp.zeros((n + 1, k), d.dtype).at[scatter_ids].set(d[:total])
