@@ -405,21 +405,30 @@ def ivf_knn(
     # dead pad rows (id −1) ride along as dead queries — they are excluded
     # from probe voting and their outputs are dropped by the scatter.
     total = index.X_sorted.shape[0] - chunk
-    n_pad = -(-total // block) * block
-    Qs = index.X_sorted[:total]
-    out_ids = index.ids_sorted[:total]
+    if (total + chunk) % block == 0:
+        # zero-copy: the queries ARE the database buffer (its tail pad rows
+        # ride along as dead queries). Slicing would duplicate the whole
+        # database on device — fatal at 10M×128 (5.7 GB each).
+        total = total + chunk
+        Qs = index.X_sorted
+        out_ids = index.ids_sorted
+    else:
+        n_pad = -(-total // block) * block
+        Qs = index.X_sorted[:total]
+        out_ids = index.ids_sorted[:total]
+        if n_pad != total:
+            Qs = jnp.concatenate(
+                [Qs, jnp.full((n_pad - total, Qs.shape[1]), 1e12, Qs.dtype)]
+            )
+            out_ids = jnp.concatenate(
+                [out_ids, jnp.full((n_pad - total,), -2, jnp.int32)]
+            )
+        total = Qs.shape[0]
     # exclusion ids: shifted out of range when self-matches are allowed,
     # negative (vote-dead) for pad rows either way
     q_rows = jnp.where(
         out_ids >= 0, out_ids + (0 if exclude_self else n), out_ids
     )
-    if n_pad != total:
-        Qs = jnp.concatenate(
-            [Qs, jnp.full((n_pad - total, Qs.shape[1]), 1e12, Qs.dtype)]
-        )
-        q_rows = jnp.concatenate(
-            [q_rows, jnp.full((n_pad - total,), -2, jnp.int32)]
-        )
 
     # expansion depth must cover the BIGGEST cell, or large home cells
     # silently lose their tail chunks (observed as recall stuck across
