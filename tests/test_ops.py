@@ -362,6 +362,39 @@ class TestIVF:
 
         assert auto_nlist(1_000_000) > 100
 
+    def test_host_build_matches_device_build(self):
+        """numpy-X builds (zero dataset pulls over the host link) must give
+        the same index and search results as device-array builds."""
+        from torchdr_tpu.ops.ivf import ivf_build, ivf_knn
+
+        rng = np.random.default_rng(3)
+        centers = rng.normal(scale=8.0, size=(20, 12)).astype(np.float32)
+        X = centers[rng.integers(0, 20, 3000)] + rng.normal(
+            size=(3000, 12)
+        ).astype(np.float32)
+        ih = ivf_build(X, n_clusters=20, kmeans_iters=8)
+        idv = ivf_build(jnp.asarray(X), n_clusters=20, kmeans_iters=8)
+        assert np.array_equal(np.asarray(ih.ids_sorted), np.asarray(idv.ids_sorted))
+        _, i1 = ivf_knn(None, k=5, index=ih, nprobe=6)
+        _, i2 = ivf_knn(None, k=5, index=idv, nprobe=6)
+        assert np.array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_segmented_search_matches_monolithic(self):
+        """Host-level query segmentation (the >30s-dispatch guard at 10M
+        scale) must be bit-identical to the single-dispatch path."""
+        from torchdr_tpu.ops.ivf import ivf_build, ivf_knn
+
+        rng = np.random.default_rng(4)
+        centers = rng.normal(scale=8.0, size=(16, 12)).astype(np.float32)
+        X = centers[rng.integers(0, 16, 4000)] + rng.normal(
+            size=(4000, 12)
+        ).astype(np.float32)
+        index = ivf_build(X, n_clusters=16, kmeans_iters=8)
+        d1, i1 = ivf_knn(None, k=6, index=index, nprobe=6)
+        d2, i2 = ivf_knn(None, k=6, index=index, nprobe=6, seg_rows=1024)
+        assert np.array_equal(np.asarray(i1), np.asarray(i2))
+        assert np.allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
+
     def test_pallas_scan_matches_xla(self):
         """Fused in-VMEM top-m (interpret mode) vs the XLA scan."""
         from torchdr_tpu.ops.ivf import ivf_build, ivf_knn

@@ -58,7 +58,7 @@ def auto_nlist(n: int) -> int:
 
 
 def ivf_build(
-    X: jnp.ndarray,
+    X,
     n_clusters: int | None = None,
     key=None,
     train_size: int = 25_600,
@@ -73,7 +73,17 @@ def ivf_build(
     probe slot is then a *block-aligned* slice, which both simplifies
     masking and lets the Pallas scan kernel address chunks through plain
     BlockSpec index maps. Memory overhead ≈ nlist·chunk/2 rows.
+
+    ``X`` may be a **numpy (host) array**: the permutation then runs
+    host-side and only the training sample, per-segment assignment
+    batches, and the final sorted database cross the host↔device link.
+    This matters when that link is thin (measured on the axon tunnel:
+    push 0.37 GB/s, pull 0.03 GB/s — a 10M×128 device→host pull alone is
+    ~170 s). Device arrays keep the on-device permutation path.
     """
+    import numpy as np
+
+    is_host = isinstance(X, np.ndarray)
     n, d = X.shape
     nlist = n_clusters or auto_nlist(n)
     key = key if key is not None else jax.random.PRNGKey(0)
@@ -87,54 +97,91 @@ def ivf_build(
     # Faiss guidance: ≥39 training points per centroid; thin samples give
     # bad coarse quantizers and tank recall.
     train_size = min(n, max(train_size, 64 * nlist))
-    train = X if n <= train_size else jax.random.choice(key, X, (train_size,), replace=False)
-    centroids, _, _ = kmeans_fit(train, nlist, key, max_iter=kmeans_iters)
+    if n <= train_size:
+        train = jnp.asarray(X, jnp.float32)
+    elif is_host:
+        sel = np.random.default_rng(int(jax.random.randint(key, (), 0, 1 << 30))).choice(
+            n, train_size, replace=False
+        )
+        train = jnp.asarray(X[np.sort(sel)], jnp.float32)
+    else:
+        train = jax.random.choice(key, X, (train_size,), replace=False)
+    # the coarse quantizer uses random init (the Faiss convention): ++'s
+    # sequential n_clusters-step seeding loop dominates build time at
+    # nlist ≳ 4k and buys no recall for cell assignment
+    centroids, _, _ = kmeans_fit(
+        train, nlist, key, max_iter=kmeans_iters,
+        init="random" if nlist >= 2048 else "++",
+    )
 
-    labels = _assign_blockwise(X, centroids)
-    order = jnp.argsort(labels, stable=True)
-    counts = jnp.zeros((nlist,), jnp.int32).at[labels].add(1)
+    if is_host:
+        labels_h = _assign_host_segmented(X, centroids)
+        labels = None
+        counts = jnp.asarray(
+            np.bincount(labels_h, minlength=nlist).astype(np.int32)
+        )
+    else:
+        labels = _assign_blockwise(X, centroids)
+        labels_h = np.asarray(labels)  # (n,) int32 — small pull
+        counts = jnp.zeros((nlist,), jnp.int32).at[labels].add(1)
 
     if align:
-        import numpy as np
-
-        counts_h = np.asarray(counts)
+        counts_h = np.bincount(labels_h, minlength=nlist).astype(np.int64)
         padded = (np.ceil(counts_h / chunk).astype(np.int64) * chunk)
         offs_h = np.concatenate([[0], np.cumsum(padded)[:-1]]).astype(np.int64)
         total = int(padded.sum())
         # destination slot of each sorted row: cell base + rank within cell
         raw_offs = np.concatenate([[0], np.cumsum(counts_h)[:-1]])
-        lab_sorted = np.asarray(labels)[np.asarray(order)]
+        order_h = np.argsort(labels_h, kind="stable")
+        lab_sorted = labels_h[order_h]
         within = np.arange(n) - raw_offs[lab_sorted]
         dest_h = offs_h[lab_sorted] + within
-        if n * d * 4 > 1 << 30:
-            # large builds: permute on the host — the device-side scatter
-            # holds X, X[order] and X_sorted at once (3× the dataset; OOMs
-            # at 10M×128 on a 16 GB chip)
-            order_h = np.asarray(order)
+        if is_host or n * d * 4 > 1 << 30:
+            # host permutation: zero device→host data pulls; one push
             Xs_h = np.zeros((total + chunk, d), np.float32)
-            Xs_h[dest_h] = np.asarray(X)[order_h]
+            Xs_h[dest_h] = np.asarray(X)[order_h] if not is_host else X[order_h]
             ids_h = np.full((total + chunk,), -1, np.int32)
             ids_h[dest_h] = order_h
             X_sorted = jnp.asarray(Xs_h)
             ids_sorted = jnp.asarray(ids_h)
         else:
             dest = jnp.asarray(dest_h, jnp.int32)
+            order = jnp.asarray(order_h, jnp.int32)
             X_sorted = jnp.zeros((total + chunk, d), X.dtype).at[dest].set(X[order])
             ids_sorted = (
-                jnp.full((total + chunk,), -1, jnp.int32)
-                .at[dest]
-                .set(order.astype(jnp.int32))
+                jnp.full((total + chunk,), -1, jnp.int32).at[dest].set(order)
             )
         offsets = jnp.asarray(offs_h, jnp.int32)
         return IVFIndex(centroids, X_sorted, ids_sorted, offsets, counts, chunk, n)
 
+    order_h = np.argsort(labels_h, kind="stable")
     offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
-    X_sorted = X[order]
-    ids_sorted = order.astype(jnp.int32)
+    order = jnp.asarray(order_h, jnp.int32)
+    X_sorted = jnp.asarray(X)[order] if not is_host else jnp.asarray(X[order_h])
+    ids_sorted = order
     # pad the tail so dynamic slices of length `chunk` never run off the end
-    X_sorted = jnp.concatenate([X_sorted, jnp.zeros((chunk, d), X.dtype)], axis=0)
+    X_sorted = jnp.concatenate([X_sorted, jnp.zeros((chunk, d), X_sorted.dtype)], axis=0)
     ids_sorted = jnp.concatenate([ids_sorted, jnp.full((chunk,), -1, jnp.int32)])
     return IVFIndex(centroids, X_sorted, ids_sorted, offsets, counts, chunk, n)
+
+
+def _assign_host_segmented(Xh, centroids, seg: int = 1 << 20):
+    """Blockwise argmin assignment for a host-resident dataset.
+
+    Pushes ``seg``-row batches to the device and pulls only the int32
+    labels back — the dataset itself never crosses the link twice. Each
+    segment is its own dispatch (bounded device time per call).
+    """
+    import numpy as np
+
+    n = Xh.shape[0]
+    out = np.empty((n,), np.int32)
+    for a in range(0, n, seg):
+        b = min(n, a + seg)
+        out[a:b] = np.asarray(
+            _assign_blockwise(jnp.asarray(Xh[a:b], jnp.float32), centroids)
+        )
+    return out
 
 
 @jax.jit
@@ -353,6 +400,7 @@ def ivf_knn(
     budget: int | None = None,
     scan_impl: str = "xla",
     merge: str = "approx",
+    seg_rows: int = 1 << 21,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Approximate self-kNN of X through an IVF index.
 
@@ -437,12 +485,41 @@ def ivf_knn(
     if scan_impl == "xla" and index.X_sorted.nbytes > (4 << 30):
         scan_impl = "slices"  # chunked takes from >4GB buffers crash the
         # TPU AOT compiler; dynamic slices compile at any size
-    d, i = _ivf_search(
-        Qs, q_rows, arrays, k, nprobe, budget, block, chunk, m_eff,
-        scan_precision, scan_impl, merge, max_ch,
-    )
-    d = d.reshape(-1, k)
-    i = i.reshape(-1, k)
+
+    # Host-level query segmentation: one dispatch over 10M queries keeps
+    # the MXU saturated for minutes, which the TPU runtime treats as a
+    # wedged worker and kills (same failure as the 1M exact tier —
+    # docs/ROUND2_STATUS.md). Cap each dispatch at ~2M queries; every
+    # segment reuses the same compiled program (identical static shapes;
+    # a short tail segment is padded with dead queries).
+    if total > seg_rows:
+        seg_blocks = max(1, seg_rows // block)
+        seg = seg_blocks * block
+        d_parts, i_parts = [], []
+        for a in range(0, total, seg):
+            b = min(total, a + seg)
+            Q_seg, r_seg = Qs[a:b], q_rows[a:b]
+            if b - a < seg:  # pad the tail with dead queries
+                pad = seg - (b - a)
+                Q_seg = jnp.concatenate(
+                    [Q_seg, jnp.full((pad, Q_seg.shape[1]), 1e12, Q_seg.dtype)]
+                )
+                r_seg = jnp.concatenate([r_seg, jnp.full((pad,), -2, jnp.int32)])
+            ds, is_ = _ivf_search(
+                Q_seg, r_seg, arrays, k, nprobe, budget, block, chunk, m_eff,
+                scan_precision, scan_impl, merge, max_ch,
+            )
+            d_parts.append(ds.reshape(-1, k)[: b - a])
+            i_parts.append(is_.reshape(-1, k)[: b - a])
+        d = jnp.concatenate(d_parts, axis=0)
+        i = jnp.concatenate(i_parts, axis=0)
+    else:
+        d, i = _ivf_search(
+            Qs, q_rows, arrays, k, nprobe, budget, block, chunk, m_eff,
+            scan_precision, scan_impl, merge, max_ch,
+        )
+        d = d.reshape(-1, k)
+        i = i.reshape(-1, k)
     # scatter back to original row order; dead rows land in the spill slot
     scatter_ids = jnp.where(out_ids >= 0, out_ids, n)
     out_d = jnp.zeros((n + 1, k), d.dtype).at[scatter_ids].set(d[:total])

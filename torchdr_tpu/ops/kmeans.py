@@ -54,39 +54,55 @@ def _plus_plus_init(X, x_norm, n_clusters, key):
     return centers
 
 
-@functools.partial(jax.jit, static_argnames=("n_clusters", "max_iter"))
+@functools.partial(jax.jit, static_argnames=("n_clusters", "max_iter", "init"))
 def kmeans_fit(
     X: jnp.ndarray,
     n_clusters: int,
     key: jax.Array,
     max_iter: int = 100,
     tol: float = 1e-4,
+    init: str = "++",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Run k-means; returns (centers, labels, inertia)."""
+    """Run k-means; returns (centers, labels, inertia).
+
+    ``init='++'`` is k-means++ (quality default); ``init='random'`` seeds
+    from a uniform row sample — the Faiss coarse-quantizer convention,
+    and much cheaper when n_clusters is in the thousands (++ is a
+    sequential n_clusters-step loop).
+    """
     x_norm = jnp.sum(X * X, axis=-1)
-    centers0 = _plus_plus_init(X, x_norm, n_clusters, key)
+    if init == "random":
+        n = X.shape[0]
+        # distinct rows without a full permutation: stride the row space
+        # from a random offset (rows have no meaningful order)
+        stride = max(1, n // n_clusters)
+        start = jax.random.randint(key, (), 0, jnp.asarray(stride))
+        centers0 = X[start + stride * jnp.arange(n_clusters)]
+    else:
+        centers0 = _plus_plus_init(X, x_norm, n_clusters, key)
 
     def cond(carry):
-        it, centers, prev_inertia, inertia = carry
+        it, centers, labels, prev_inertia, inertia = carry
         return jnp.logical_and(
             it < max_iter, jnp.abs(prev_inertia - inertia) > tol * jnp.abs(inertia)
         )
 
     def body(carry):
-        it, centers, _, inertia = carry
-        labels, _ = _assign(X, x_norm, centers)
-        onehot = (labels[:, None] == jnp.arange(n_clusters)[None, :]).astype(X.dtype)
-        counts = jnp.sum(onehot, axis=0)
-        sums = jnp.matmul(onehot.T, X, preferred_element_type=jnp.float32)
+        it, centers, labels, _, inertia = carry
+        # centroid update via scatter-add segment sums: the one-hot matmul
+        # form materializes an (n, n_clusters) f32 block — 17 GB at the
+        # 0.5M x 8k IVF-build scale. One assignment pass per iteration:
+        # labels ride the carry from the previous assign.
+        counts = jnp.zeros((n_clusters,), jnp.float32).at[labels].add(1.0)
+        sums = jnp.zeros((n_clusters, X.shape[1]), jnp.float32).at[labels].add(X)
         new_centers = jnp.where(
             counts[:, None] > 0, sums / jnp.maximum(counts, 1.0)[:, None], centers
         )
-        _, new_inertia = _assign(X, x_norm, new_centers)
-        return it + 1, new_centers, inertia, new_inertia
+        new_labels, new_inertia = _assign(X, x_norm, new_centers)
+        return it + 1, new_centers, new_labels, inertia, new_inertia
 
-    _, init_inertia = _assign(X, x_norm, centers0)
-    _, centers, _, inertia = lax.while_loop(
-        cond, body, (0, centers0, jnp.inf, init_inertia)
+    labels0, init_inertia = _assign(X, x_norm, centers0)
+    _, centers, labels, _, inertia = lax.while_loop(
+        cond, body, (0, centers0, labels0, jnp.inf, init_inertia)
     )
-    labels, _ = _assign(X, x_norm, centers)
     return centers, labels, inertia

@@ -10,6 +10,10 @@ dynamic sizes first (all_to_all_single on counts, sparse.py:296-300) we
 pad each per-destination bucket to the worst case ``chunk·k`` and carry a
 validity mask — trade world-fold buffer memory for zero host round-trips.
 
+The entire pipeline (bucketing, all_to_all, transpose scatter, duplicate
+merge) runs inside ONE ``shard_map`` body: every buffer a device touches
+is sized by its own row chunk, so per-device memory stays O(n/p · k).
+
 Note: the GSPMD path (just calling ops/sparse.symmetrize_sparse on
 row-sharded arrays) is also correct — XLA distributes the sort. This
 explicit version keeps the exchange on ICI with predictable cost and is
@@ -101,59 +105,51 @@ def distributed_symmetrize_sparse(
         recv_rows = lax.all_to_all(send_rows, axis, 0, 0, tiled=False)
         recv_cols = lax.all_to_all(send_cols, axis, 0, 0, tiled=False)
         recv_vals = lax.all_to_all(send_vals, axis, 0, 0, tiled=False)
-        return (
-            recv_rows.reshape(1, world * m),
-            recv_cols.reshape(1, world * m),
-            recv_vals.reshape(1, world * m),
+        # recv_* are (world, m): bucket b holds transposed edges sent by rank
+        # b whose target rows live in THIS rank's chunk (global row ids).
+
+        # --- merge phase, on-mesh: every buffer below is O(chunk), not O(n).
+        t_rows = recv_rows.reshape(-1)
+        t_cols = recv_cols.reshape(-1)
+        t_vals = recv_vals.reshape(-1)
+        t_valid = t_rows >= 0
+        t_local = jnp.where(t_valid, t_rows - row0, chunk)
+
+        # per-local-row slot assignment for received edges
+        order2 = jnp.argsort(t_local, stable=True)
+        t_local, t_cols, t_vals, t_valid = (
+            t_local[order2], t_cols[order2], t_vals[order2], t_valid[order2],
+        )
+        pos2 = jnp.arange(t_local.shape[0])
+        row_start = jnp.full((chunk + 1,), t_local.shape[0], jnp.int32)
+        row_start = row_start.at[t_local].min(pos2.astype(jnp.int32))
+        slot2 = pos2 - row_start[jnp.minimum(t_local, chunk)]
+        # In-degree can exceed k, so the receive matrix is k_out wide.
+        PT_vals = jnp.zeros((chunk, k_out), values.dtype)
+        PT_idx = jnp.full((chunk, k_out), -1, indices.dtype)
+        okm = t_valid & (slot2 < k_out)
+        r_i = jnp.where(okm, t_local, 0)
+        s_i = jnp.where(okm, slot2, k_out - 1)
+        PT_vals = PT_vals.at[r_i, s_i].set(jnp.where(okm, t_vals, 0.0), mode="drop")
+        PT_idx = PT_idx.at[r_i, s_i].set(jnp.where(okm, t_cols, -1), mode="drop")
+
+        # combine the local P chunk with its received transpose chunk (the
+        # padded-duplicate merge handles the mode arithmetic per row)
+        comb_vals = jnp.concatenate([vals_local, PT_vals], axis=1)
+        comb_idx = jnp.concatenate([idx_local, PT_idx], axis=1)
+        return _merge_duplicate_columns(
+            comb_vals, comb_idx, k_out,
+            combine="sum" if mode == "sum" else "sum_minus_prod",
         )
 
     f = shard_map(
         local,
         mesh=mesh,
         in_specs=(P(axis, None), P(axis, None)),
-        out_specs=(P(axis, None), P(axis, None), P(axis, None)),
+        out_specs=(P(axis, None), P(axis, None)),
     )
-    recv_rows, recv_cols, recv_vals = jax.jit(f)(vals_p, idx_p)
-    # recv_* have shape (world, world*m): row r holds the transposed edges
-    # whose target rows live in rank r's chunk (global row ids in recv_rows).
-
-    # Merge own edges with received transposed edges through the static-shape
-    # sort/merge pass: build a combined padded matrix of width k + world*m/chunk
-    # ... simpler and exact: scatter received edges into a padded per-row
-    # transpose matrix, then combine with the local P.
-    t_rows = recv_rows.reshape(-1)
-    t_cols = recv_cols.reshape(-1)
-    t_vals = recv_vals.reshape(-1)
-    t_valid = (t_rows >= 0) & (t_rows < n)
-
-    # per-row slot assignment for received edges
-    order = jnp.argsort(jnp.where(t_valid, t_rows, n_pad), stable=True)
-    t_rows, t_cols, t_vals, t_valid = (
-        t_rows[order], t_cols[order], t_vals[order], t_valid[order],
-    )
-    pos = jnp.arange(t_rows.shape[0])
-    row_start = jnp.full((n_pad + 1,), t_rows.shape[0], jnp.int32)
-    row_start = row_start.at[jnp.where(t_valid, t_rows, n_pad)].min(
-        pos.astype(jnp.int32)
-    )
-    slot = pos - row_start[jnp.clip(t_rows, 0, n_pad)]
-    # In-degree can exceed k, so the receive matrix is k_out wide.
-    width = k_out
-    PT_vals = jnp.zeros((n, width), values.dtype)
-    PT_idx = jnp.full((n, width), -1, indices.dtype)
-    okm = t_valid & (slot < width)
-    r_i = jnp.where(okm, t_rows, 0)
-    s_i = jnp.where(okm, slot, width - 1)
-    PT_vals = PT_vals.at[r_i, s_i].set(jnp.where(okm, t_vals, 0.0), mode="drop")
-    PT_idx = PT_idx.at[r_i, s_i].set(jnp.where(okm, t_cols, -1), mode="drop")
-
-    # combine P and PT with the single-device merge on the concatenated
-    # padded representation (handles duplicates and the mode arithmetic)
-    comb_vals = jnp.concatenate([values, PT_vals], axis=1)
-    comb_idx = jnp.concatenate([indices, PT_idx], axis=1)
-    if mode == "sum":
-        return _merge_duplicate_columns(comb_vals, comb_idx, k_out, combine="sum")
-    return _merge_duplicate_columns(comb_vals, comb_idx, k_out, combine="sum_minus_prod")
+    out_vals, out_idx = jax.jit(f)(vals_p, idx_p)
+    return out_vals[:n], out_idx[:n]
 
 
 def _merge_duplicate_columns(values, indices, k_out: int, combine: str):
