@@ -61,3 +61,30 @@ class TestKMeans:
         X, _, _ = blobs(k=3)
         cen, labels, _ = kmeans_fit(X, 24, jax.random.PRNGKey(1), max_iter=30)
         assert bool(jnp.isfinite(cen).all())
+
+    def test_random_init_usable_in_coarse_regime(self):
+        """init='random' is the coarse-quantizer path (ivf_build uses it at
+        nlist >= 2048, where ++'s sequential seeding loop dominates build
+        time). Its regime is n_clusters >> data modes: random rows seed
+        proportionally to mass, so inertia lands near ++'s. (At small k it
+        can merge blob pairs — which is why small-k builds keep ++.)"""
+        X, lab, _ = blobs(n=2000, k=6)
+        _, labels, inertia = kmeans_fit(
+            X, 64, jax.random.PRNGKey(0), max_iter=40, init="random"
+        )
+        _, _, inertia_pp = kmeans_fit(
+            X, 64, jax.random.PRNGKey(0), max_iter=40, init="++"
+        )
+        assert float(inertia) < 1.5 * float(inertia_pp)
+        # quantizer cells are coherent: points of one blob share cells
+        from sklearn.metrics import homogeneity_score
+
+        # (true classes, predicted cells): each cell holds a single blob
+        assert homogeneity_score(lab, np.asarray(labels)) > 0.95
+
+    def test_random_init_centers_are_rows(self):
+        X, _, _ = blobs(n=64)
+        cen, _, _ = kmeans_fit(X, 8, jax.random.PRNGKey(2), max_iter=0, init="random")
+        Xn = np.asarray(X)
+        for c in np.asarray(cen):
+            assert np.min(np.linalg.norm(Xn - c, axis=1)) < 1e-6
