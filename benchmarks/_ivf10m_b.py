@@ -1,0 +1,87 @@
+"""10M x 128 IVF — round B: 'rows' scan impl (flat row gather, no per-slot
+fori overhead) + nprobe/merge sweep. Build once (verbose phases), sweep
+search configs with warm timings.
+
+Reference target: Faiss IVF nlist=16384 nprobe=81 on B200 = 54.69 s @ 99.9%
+(BENCHMARK_RESULTS.md:33-41)."""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from torchdr_tpu.ops.distance import knn_graph
+from torchdr_tpu.ops.ivf import ivf_build, ivf_knn
+
+N, D, K = 10_000_000, 128, 15
+SUB = 1000
+
+
+def log(**kw):
+    print("JSON " + json.dumps(kw), flush=True)
+
+
+def force(x):
+    return float(jnp.sum(jnp.where(jnp.isfinite(x), x, 0)))
+
+
+def main():
+    rng = np.random.default_rng(0)
+    centers = rng.normal(scale=10.0, size=(10_000, D)).astype(np.float32)
+    lab = rng.integers(0, 10_000, N)
+    Xh = centers[lab] + rng.normal(size=(N, D)).astype(np.float32)
+    X = jnp.asarray(Xh)
+    force(X[:8])
+
+    t0 = time.perf_counter()
+    _, i_t = knn_graph(X[:SUB], X, k=K + 1, exclude_diag=False, precision="highest")
+    i_t = np.asarray(i_t)
+    i_true = np.stack([row[row != r][:K] for r, row in zip(range(SUB), i_t)])
+    log(step="groundtruth", secs=round(time.perf_counter() - t0, 1))
+
+    def recall(i):
+        ig = np.asarray(i[:SUB])
+        return float(np.mean([len(set(ig[j]) & set(i_true[j])) / K for j in range(SUB)]))
+
+    del X
+    import gc; gc.collect()
+    t0 = time.perf_counter()
+    idx = ivf_build(Xh, n_clusters=8192, kmeans_iters=15, verbose=True)
+    log(step="build", nlist=8192, build_s=round(time.perf_counter() - t0, 1))
+    del Xh
+    gc.collect()
+
+    configs = [
+        dict(nprobe=16, merge="approx", m=64, scan_impl="xla"),  # bf16 scan
+        dict(nprobe=12, merge="approx", m=64, scan_impl="xla"),
+        dict(nprobe=16, merge="exact", m=64, scan_impl="xla"),
+    ]
+    for cfg in configs:
+        try:
+            kw = dict(k=K, index=idx, scan_precision="high", **cfg)
+            t0 = time.perf_counter()
+            d, i = ivf_knn(None, **kw)
+            force(d)
+            cold = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            d, i = ivf_knn(None, **kw)
+            force(d)
+            warm = time.perf_counter() - t0
+            log(step="search", **cfg, cold_s=round(cold, 1),
+                warm_s=round(warm, 2), recall=round(recall(i), 5))
+        except Exception as e:
+            log(step="search", **cfg, error=str(e)[:300])
+
+
+if __name__ == "__main__":
+    main()

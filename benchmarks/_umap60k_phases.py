@@ -78,11 +78,18 @@ def main():
             e2e = time.perf_counter() - t0
             loop_s = e2e - t_aff.get("affinity_s", 0.0)
             from torchdr_tpu.eval.silhouette import silhouette_score
+            from torchdr_tpu.eval.knn_metrics import neighborhood_preservation
 
             sil = float(silhouette_score(Z[::10], lab[::10]))
+            # north-star quality: input 30-NN preserved in the embedding
+            # (BASELINE.md "kNN recall@30"), on a 6k subsample
+            pres = float(
+                neighborhood_preservation(X[::10], np.asarray(Z)[::10], K=30)
+            )
             rec = dict(variant=name, rep=rep, e2e=round(e2e, 1),
                        affinity_s=round(t_aff.get("affinity_s", -1), 1),
-                       loop_s=round(loop_s, 1), sil=round(sil, 4))
+                       loop_s=round(loop_s, 1), sil=round(sil, 4),
+                       preservation30=round(pres, 4))
             print("JSON " + json.dumps(rec), flush=True)
             if best is None or e2e < best:
                 best = e2e

@@ -379,6 +379,54 @@ class TestIVF:
         _, i2 = ivf_knn(None, k=5, index=idv, nprobe=6)
         assert np.array_equal(np.asarray(i1), np.asarray(i2))
 
+    def test_split_precision_storage_recall(self):
+        """Split-precision storage (bf16 hi scan plane + bf16 residual,
+        auto-built past the 4 GB chunk-take AOT limit) must match the f32
+        index's neighbors to within the margin contract — for both host
+        (numpy) and device-resident builds."""
+        from torchdr_tpu.ops.ivf import ivf_build, ivf_knn
+
+        rng = np.random.default_rng(5)
+        centers = rng.normal(scale=8.0, size=(16, 16)).astype(np.float32)
+        X = centers[rng.integers(0, 16, 4000)] + rng.normal(
+            size=(4000, 16)
+        ).astype(np.float32)
+        index = ivf_build(X, n_clusters=16, kmeans_iters=8)
+        assert index.X_lo is None
+        _, i1 = ivf_knn(None, k=8, index=index, nprobe=6, merge="exact")
+        for Xin in (X, jnp.asarray(X)):
+            split = ivf_build(
+                Xin, n_clusters=16, kmeans_iters=8, split_bytes=0
+            )
+            assert split.X_lo is not None
+            assert split.X_sorted.dtype == jnp.bfloat16
+            assert split.xnorm2 is not None
+            # c_cell + r_hi + r_lo reconstructs the f32 rows to ~2⁻¹⁶ rel.
+            pos = np.arange(split.X_sorted.shape[0])
+            cell = np.searchsorted(np.asarray(split.offsets), pos, "right") - 1
+            rec = (
+                np.asarray(split.centroids)[cell]
+                + np.asarray(split.X_sorted, np.float32)
+                + np.asarray(split.X_lo, np.float32)
+            )
+            ref = np.asarray(index.X_sorted)
+            live = np.asarray(split.ids_sorted) >= 0
+            assert np.allclose(rec[live], ref[live], rtol=1e-4, atol=3e-3)
+            # exact |x|² rides along for the scan scores
+            assert np.allclose(
+                np.asarray(split.xnorm2)[live],
+                np.einsum("ij,ij->i", ref[live], ref[live]),
+                rtol=1e-5, atol=1e-4,
+            )
+            _, i2 = ivf_knn(None, k=8, index=split, nprobe=6, merge="exact", m=64)
+            agree = np.mean(
+                [
+                    len(set(np.asarray(i1)[j]) & set(np.asarray(i2)[j])) / 8
+                    for j in range(4000)
+                ]
+            )
+            assert agree > 0.999
+
     def test_segmented_search_matches_monolithic(self):
         """Host-level query segmentation (the >30s-dispatch guard at 10M
         scale) must be bit-identical to the single-dispatch path."""

@@ -36,6 +36,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from .metrics import MASK_VALUE, sq_dists_from_gram
@@ -45,16 +46,39 @@ from .kmeans import kmeans_fit
 class IVFIndex(NamedTuple):
     centroids: jnp.ndarray   # (ncells, d)
     X_sorted: jnp.ndarray    # (n_pad + chunk, d) database rows grouped by cell
+    # — f32, or the bf16 HIGH half under split-precision storage (below)
     ids_sorted: jnp.ndarray  # (n_pad + chunk,) original row ids (-1 padding)
     offsets: jnp.ndarray     # (ncells,) start of each cell in X_sorted
     counts: jnp.ndarray      # (ncells,) cell sizes
     chunk: int               # probe granularity (static slice length)
     n: int                   # number of real database rows
+    X_lo: jnp.ndarray | None = None  # residual split-precision storage:
+    # past the 4 GB chunk-take AOT limit the database is held as TWO bf16
+    # planes of the CELL RESIDUAL r = x − centroid(cell(x)) — X_sorted is
+    # r_hi = bf16(r), X_lo is r_lo = bf16(r − r_hi) — plus exact f32 row
+    # norms (xnorm2). Residuals are small (within-cell offsets), so bf16's
+    # relative rounding gives ~5× smaller ABSOLUTE score error than
+    # quantizing raw rows (measured: raw-bf16 scan displaced true
+    # neighbors past an m=64 margin → 96.4% recall at 10M; residuals keep
+    # f32-grade ranks). The scan reads only r_hi (half the bytes of f32,
+    # back under the 4 GB chunk-take AOT limit so the fast aligned path
+    # stays usable); scores use q·x = q·c_cell (f32 centroid matmul) +
+    # (q−c_home)·r (one bf16 MXU matmul) + c_home·r (f32 matvec); the
+    # re-rank reconstructs x ≈ c + r_hi + r_lo to ~2⁻¹⁶ relative. Same
+    # total bytes as f32 — NOT a second copy (the f32+bf16
+    # double-residency OOM'd at 10M).
+    xnorm2: jnp.ndarray | None = None  # (n_pad + chunk,) f32 |x|² under
+    # residual storage (pad rows 0); None for plain f32 storage
 
 
 def auto_nlist(n: int) -> int:
     """Faiss-style heuristic (reference: faiss.py:335-342)."""
     return int(max(16, min(4 * (n ** 0.5), n / 39, 8192)))
+
+
+#: device-memory budget the build's 2×-data transient permute must fit in
+#: (v5e HBM is 16 GB; leave headroom for XLA workspace + fragmentation)
+_PERMUTE_HBM_BUDGET = 13 << 30
 
 
 def ivf_build(
@@ -65,6 +89,8 @@ def ivf_build(
     kmeans_iters: int = 25,
     chunk: int | None = None,
     align: bool = True,
+    verbose: bool = False,
+    split_bytes: int = 4 << 30,
 ) -> IVFIndex:
     """Build the inverted file index (host-synced shapes; build once).
 
@@ -81,7 +107,19 @@ def ivf_build(
     push 0.37 GB/s, pull 0.03 GB/s — a 10M×128 device→host pull alone is
     ~170 s). Device arrays keep the on-device permutation path.
     """
-    import numpy as np
+    import time as _time
+
+    _t0 = _time.perf_counter()
+    _marks = []
+
+    def _mark(name):
+        if verbose:
+            _marks.append((name, _time.perf_counter() - _t0))
+            print(
+                f"[ivf_build] {name}: +{_marks[-1][1] - (_marks[-2][1] if len(_marks) > 1 else 0.0):.1f}s "
+                f"(t={_marks[-1][1]:.1f}s)",
+                flush=True,
+            )
 
     is_host = isinstance(X, np.ndarray)
     n, d = X.shape
@@ -113,6 +151,19 @@ def ivf_build(
         train, nlist, key, max_iter=kmeans_iters,
         init="random" if nlist >= 2048 else "++",
     )
+    centroids.block_until_ready()
+    _mark("kmeans")
+
+    # Device-resident big build: when the dataset + a second permute buffer
+    # fit HBM, push ONCE (segmented) and keep everything on device — the
+    # host-permute path crosses the thin axon link three times (assign
+    # pushes + permuted push) and measured 400-650 s at 10M×128.
+    x_bytes = n * X.shape[1] * 4
+    if is_host and (1 << 30) < x_bytes and 2 * x_bytes + (1 << 30) < _PERMUTE_HBM_BUDGET:
+        X = _push_segmented(np.ascontiguousarray(X, np.float32))
+        X.block_until_ready()
+        is_host = False
+        _mark("push dataset")
 
     if is_host:
         labels_h = _assign_host_segmented(X, centroids)
@@ -124,6 +175,7 @@ def ivf_build(
         labels = _assign_blockwise(X, centroids)
         labels_h = np.asarray(labels)  # (n,) int32 — small pull
         counts = jnp.zeros((nlist,), jnp.int32).at[labels].add(1)
+    _mark("assign")
 
     if align:
         counts_h = np.bincount(labels_h, minlength=nlist).astype(np.int64)
@@ -136,23 +188,90 @@ def ivf_build(
         lab_sorted = labels_h[order_h]
         within = np.arange(n) - raw_offs[lab_sorted]
         dest_h = offs_h[lab_sorted] + within
-        if is_host or n * d * 4 > 1 << 30:
-            # host permutation: zero device→host data pulls; one push
-            Xs_h = np.zeros((total + chunk, d), np.float32)
-            Xs_h[dest_h] = np.asarray(X)[order_h] if not is_host else X[order_h]
-            ids_h = np.full((total + chunk,), -1, np.int32)
-            ids_h[dest_h] = order_h
-            X_sorted = jnp.asarray(Xs_h)
-            ids_sorted = jnp.asarray(ids_h)
-        else:
+        f32_bytes = (total + chunk) * d * 4
+        X_lo = xnorm2 = None
+        if not is_host and f32_bytes <= (1 << 30):
+            # small device path: one whole-array scatter
             dest = jnp.asarray(dest_h, jnp.int32)
             order = jnp.asarray(order_h, jnp.int32)
             X_sorted = jnp.zeros((total + chunk, d), X.dtype).at[dest].set(X[order])
             ids_sorted = (
                 jnp.full((total + chunk,), -1, jnp.int32).at[dest].set(order)
             )
+            if f32_bytes > split_bytes:
+                cells = jnp.asarray(_cells_of_layout(padded, chunk, nlist))
+                X_sorted, X_lo, xnorm2 = _residual_split_device(
+                    X_sorted.astype(jnp.float32), cells, centroids
+                )
+        elif not is_host and 2 * f32_bytes + (1 << 30) < _PERMUTE_HBM_BUDGET:
+            # on-device permute: segmented gather+scatter into a donated
+            # output buffer (peak ≈ 2×data + one segment — the single-shot
+            # scatter's 3×-data transient OOM'd at 10M×128)
+            ids_h = np.full((total + chunk,), -1, np.int32)
+            ids_h[dest_h] = order_h
+            X_sorted = _permute_device(X, order_h, dest_h, total + chunk, d)
+            del X  # drop the unsorted copy before the split doubles buffers
+            X_sorted.block_until_ready()
+            ids_sorted = jnp.asarray(ids_h)
+            _mark("device permute")
+            if f32_bytes > split_bytes:
+                cells = jnp.asarray(_cells_of_layout(padded, chunk, nlist))
+                X_sorted, X_lo, xnorm2 = _residual_split_device(
+                    X_sorted, cells, centroids
+                )
+                X_sorted.block_until_ready()
+                _mark("residual split")
+        else:
+            # host permutation: zero device→host data pulls; one push.
+            # Single scatter pass (dest-of-source, not gather-then-scatter),
+            # through torch when available — its index_copy_ is
+            # multithreaded; numpy fancy indexing is single-threaded and
+            # measured 127 s on 10M×128.
+            Xh = np.asarray(X) if not is_host else X
+            dest_src = np.empty((n,), np.int64)
+            dest_src[order_h] = dest_h  # row j of X lands at dest_src[j]
+            ids_h = np.full((total + chunk,), -1, np.int32)
+            ids_h[dest_h] = order_h
+            try:
+                import torch
+
+                out = torch.zeros((total + chunk, d), dtype=torch.float32)
+                out.index_copy_(
+                    0, torch.from_numpy(dest_src), torch.from_numpy(Xh)
+                )
+                Xs_h = out.numpy()
+            except ImportError:
+                Xs_h = np.zeros((total + chunk, d), np.float32)
+                Xs_h[dest_src] = Xh
+            _mark("host permute")
+            if f32_bytes > split_bytes:
+                # residual split on host (ml_dtypes bf16), push both
+                # planes — same total bytes as the f32 push, half the
+                # resident HBM and f32-grade scan scores (see IVFIndex)
+                import ml_dtypes
+
+                bf16 = ml_dtypes.bfloat16
+                cells_h = _cells_of_layout(padded, chunk, nlist)
+                cent_h = np.asarray(centroids, np.float32)
+                xn_h = np.einsum("ij,ij->i", Xs_h, Xs_h).astype(np.float32)
+                Xs_h -= cent_h[cells_h]
+                hi_h = Xs_h.astype(bf16)
+                lo_h = (Xs_h - hi_h.astype(np.float32)).astype(bf16)
+                _mark("host residual split")
+                X_sorted = _push_segmented(hi_h)
+                X_lo = _push_segmented(lo_h)
+                xnorm2 = jnp.asarray(xn_h)
+                X_lo.block_until_ready()
+            else:
+                X_sorted = _push_segmented(Xs_h)
+            ids_sorted = jnp.asarray(ids_h)
+            X_sorted.block_until_ready()
+            _mark("push sorted db")
         offsets = jnp.asarray(offs_h, jnp.int32)
-        return IVFIndex(centroids, X_sorted, ids_sorted, offsets, counts, chunk, n)
+        return IVFIndex(
+            centroids, X_sorted, ids_sorted, offsets, counts, chunk, n,
+            X_lo, xnorm2,
+        )
 
     order_h = np.argsort(labels_h, kind="stable")
     offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
@@ -165,22 +284,110 @@ def ivf_build(
     return IVFIndex(centroids, X_sorted, ids_sorted, offsets, counts, chunk, n)
 
 
+def _push_segmented(Xh, seg_bytes: int = 512 << 20):
+    """Host→device transfer in ~512 MB slices + one device concat.
+
+    Measured on the axon tunnel: a single push degrades superlinearly with
+    size (1 GB → 0.37 GB/s, 2 GB → 0.16, 6.5 GB → 0.036); ~512 MB slices
+    hold the per-slice rate, turning a 182 s push into ~20 s.
+    """
+    n = Xh.shape[0]
+    row_bytes = max(1, int(np.prod(Xh.shape[1:])) * Xh.dtype.itemsize)
+    seg = max(1, seg_bytes // row_bytes)
+    if n <= seg:
+        return jnp.asarray(Xh)
+    parts = [jnp.asarray(Xh[a : a + seg]) for a in range(0, n, seg)]
+    return jnp.concatenate(parts, axis=0)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _permute_seg_jit(out, X, order, dest):
+    # out-of-range dest rows (segment tail padding) are dropped
+    return out.at[dest].set(X[order], mode="drop")
+
+
+def _permute_device(X, order_h, dest_h, out_rows, d, seg_bytes: int = 512 << 20):
+    """Row permutation on device: ``out[dest] = X[order]`` in ~512 MB
+    segments, donating ``out`` each step (peak HBM ≈ 2×data + 1 segment).
+    One compile serves every segment (tails pad to out-of-range = drop)."""
+    seg = max(1, seg_bytes // max(1, d * 4))
+    nn = order_h.shape[0]
+    out = jnp.zeros((out_rows, d), jnp.float32)
+    for a in range(0, nn, seg):
+        m = min(seg, nn - a)
+        o = np.zeros((seg,), np.int32)
+        dst = np.full((seg,), out_rows, np.int32)  # oob → dropped
+        o[:m] = order_h[a : a + m]
+        dst[:m] = dest_h[a : a + m]
+        out = _permute_seg_jit(out, X, jnp.asarray(o), jnp.asarray(dst))
+    return out
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("seg",))
+def _residual_seg_jit(r_hi, r_lo, xn, x, cells, centroids, a, seg):
+    """One segment of the residual split: r = x − c, bf16 hi/lo planes +
+    exact f32 row norms, written in place (donated outputs)."""
+    x_seg = lax.dynamic_slice_in_dim(x, a, seg, 0)
+    c_seg = centroids[lax.dynamic_slice_in_dim(cells, a, seg, 0)]
+    r = x_seg - c_seg
+    hi = r.astype(jnp.bfloat16)
+    lo = (r - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (
+        lax.dynamic_update_slice_in_dim(r_hi, hi, a, 0),
+        lax.dynamic_update_slice_in_dim(r_lo, lo, a, 0),
+        lax.dynamic_update_slice_in_dim(xn, jnp.sum(x_seg * x_seg, -1), a, 0),
+    )
+
+
+def _residual_split_device(x, cells, centroids, seg_bytes: int = 512 << 20):
+    """f32 sorted rows → (r_hi, r_lo, xnorm2) residual planes, segmented
+    (peak HBM ≈ data + both planes + one segment; one compile for all
+    segments). The caller should drop its reference to ``x`` afterwards —
+    the planes replace it."""
+    n, d = x.shape
+    seg = min(n, max(1, seg_bytes // max(1, d * 4)))
+    r_hi = jnp.zeros((n, d), jnp.bfloat16)
+    r_lo = jnp.zeros((n, d), jnp.bfloat16)
+    xn = jnp.zeros((n,), jnp.float32)
+    starts = list(range(0, n - seg, seg)) + [n - seg]  # tail re-covered
+    for a in starts:
+        r_hi, r_lo, xn = _residual_seg_jit(
+            r_hi, r_lo, xn, x, cells, centroids, jnp.asarray(a, jnp.int32), seg
+        )
+    return r_hi, r_lo, xn
+
+
+def _cells_of_layout(padded_h, chunk, nlist):
+    """Host: cell id of every row slot in the aligned sorted layout."""
+    cells_h = np.repeat(np.arange(nlist, dtype=np.int32), padded_h)
+    return np.concatenate([cells_h, np.full((chunk,), max(0, nlist - 1), np.int32)])
+
+
 def _assign_host_segmented(Xh, centroids, seg: int = 1 << 20):
     """Blockwise argmin assignment for a host-resident dataset.
 
     Pushes ``seg``-row batches to the device and pulls only the int32
     labels back — the dataset itself never crosses the link twice. Each
-    segment is its own dispatch (bounded device time per call).
+    segment is its own dispatch (bounded device time per call); the tail
+    segment is zero-padded to the same shape so the whole pass compiles
+    exactly once (a second remote compile costs more than the padding).
     """
-    import numpy as np
-
     n = Xh.shape[0]
+    if n <= seg:
+        return np.asarray(
+            _assign_blockwise(jnp.asarray(Xh, jnp.float32), centroids)
+        )
     out = np.empty((n,), np.int32)
     for a in range(0, n, seg):
         b = min(n, a + seg)
+        Xs = Xh[a:b]
+        if b - a < seg:
+            Xs = np.concatenate(
+                [Xs, np.zeros((seg - (b - a), Xh.shape[1]), np.float32)]
+            )
         out[a:b] = np.asarray(
-            _assign_blockwise(jnp.asarray(Xh[a:b], jnp.float32), centroids)
-        )
+            _assign_blockwise(jnp.asarray(Xs, jnp.float32), centroids)
+        )[: b - a]
     return out
 
 
@@ -209,15 +416,20 @@ def _assign_blockwise(X, centroids, block: int = 4096):
 )
 def _ivf_search(
     Qs, q_rows, index_arrays, k, ncells, budget, block, chunk, m, scan_precision,
-    scan_impl="xla", merge="approx", max_ch=None,
+    scan_impl="xla", merge="approx", max_ch=None, Qs_lo=None, pos0=0,
 ):
     """The probe kernel. See the module docstring for the design rationale.
 
     ``ncells`` is the number of cells probed per query block; ``budget`` is
     the static number of ``chunk``-row scan slots the winning cells expand
-    into (work ∝ budget·chunk rows per query).
+    into (work ∝ budget·chunk rows per query). Under residual
+    split-precision storage ``X_sorted``/``X_lo`` are the bf16 hi/lo
+    planes of r = x − c_cell and ``xnorm2`` the exact f32 |x|²; queries
+    (= database rows on the self-query path, located at absolute layout
+    position ``pos0 + i``) and re-rank rows reconstruct x = c + hi + lo.
     """
-    centroids, X_sorted, ids_sorted, offsets, counts = index_arrays
+    centroids, X_sorted, ids_sorted, offsets, counts, X_lo, xnorm2 = index_arrays
+    residual = xnorm2 is not None
     nq = Qs.shape[0]
     n_blocks = nq // block
     nlist = centroids.shape[0]
@@ -226,21 +438,55 @@ def _ivf_search(
     per_query_probes = max(2, min(nlist, ncells // 2))
     if max_ch is None:
         max_ch = max(1, -(-int(budget) // max(1, ncells)) + 3)
-    aligned = n_total % chunk == 0 and scan_impl != "slices"
+    aligned = n_total % chunk == 0 and scan_impl in ("xla", "pallas")
     if aligned:
         X_r = X_sorted[:n_total].reshape(n_total // chunk, chunk, X_sorted.shape[1])
         ids_r = ids_sorted[:n_total].reshape(n_total // chunk, chunk)
+        if residual:
+            xn_r = xnorm2[:n_total].reshape(n_total // chunk, chunk)
     prec = {
         "default": lax.Precision.DEFAULT,
         "high": lax.Precision.HIGH,
         "highest": lax.Precision.HIGHEST,
     }[scan_precision]
 
+    def cell_of(pos):
+        """Cell id of an absolute layout position (aligned layout only)."""
+        return (
+            jnp.searchsorted(offsets, pos.astype(jnp.int32), side="right") - 1
+        ).astype(jnp.int32)
+
+    def rows_f32(pos):
+        """Gather database rows at full precision (c + hi + lo under
+        residual split storage)."""
+        Xg = X_sorted[pos].astype(jnp.float32)
+        if X_lo is not None:
+            Xg = Xg + X_lo[pos].astype(jnp.float32)
+        if residual:
+            Xg = Xg + centroids[cell_of(pos)]
+        return Xg
+
     def process(b):
-        Qb = lax.dynamic_slice_in_dim(Qs, b * block, block, axis=0)
+        Qb = lax.dynamic_slice_in_dim(Qs, b * block, block, axis=0).astype(
+            jnp.float32
+        )
+        if Qs_lo is not None:
+            Qb = Qb + lax.dynamic_slice_in_dim(
+                Qs_lo, b * block, block, axis=0
+            ).astype(jnp.float32)
+        if residual:
+            # self-queries are residual rows: add back their cell centroid
+            q_pos = pos0 + b * block + jnp.arange(block, dtype=jnp.int32)
+            Qb = Qb + centroids[cell_of(q_pos)]
         rows = lax.dynamic_slice_in_dim(q_rows, b * block, block, axis=0)
         qn = jnp.sum(Qb * Qb, axis=-1)
-        gq = jnp.matmul(Qb, centroids.T, preferred_element_type=jnp.float32)
+        # HIGH precision: under residual storage gq enters the scan scores
+        # (q·c_cell term), where default bf16 rounding of large-magnitude
+        # rows would swamp within-cell distance gaps
+        gq = jnp.matmul(
+            Qb, centroids.T, preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGH,
+        )
         Dc = sq_dists_from_gram(qn, c_norm, gq)  # (block, ncells_total)
         # Shared probe set by rank-weighted per-query voting: every query
         # nominates its nearest cells; the block probes the most-nominated.
@@ -293,7 +539,17 @@ def _ivf_search(
             # are fine). ~1 s slower than the flat-gather path at 1M.
             def scan_slot(s, bufc):
                 start = slot_start[s]
-                Xc = lax.dynamic_slice_in_dim(X_sorted, start, chunk, 0)
+                Xc = lax.dynamic_slice_in_dim(X_sorted, start, chunk, 0).astype(
+                    jnp.float32
+                )
+                if X_lo is not None:
+                    Xc = Xc + lax.dynamic_slice_in_dim(
+                        X_lo, start, chunk, 0
+                    ).astype(jnp.float32)
+                if residual:
+                    # slots never cross cells (aligned layout): one
+                    # centroid reconstructs the slot's rows
+                    Xc = Xc + centroids[cells[sel_ci[s]]][None, :]
                 idc = lax.dynamic_slice_in_dim(ids_sorted, start, chunk, 0)
                 gg = jnp.matmul(
                     Qb, Xc.T, preferred_element_type=jnp.float32, precision=prec
@@ -317,7 +573,7 @@ def _ivf_search(
             else:
                 vals, cidx = lax.approx_min_k(buf, m, recall_target=0.99)
             pos = row_idx[cidx]
-            Xg = X_sorted[pos]
+            Xg = rows_f32(pos)
             diff = Qb[:, None, :] - Xg
             D2 = jnp.sum(diff * diff, axis=-1)
             D2 = jnp.where(vals >= MASK_VALUE * 0.5, MASK_VALUE, D2)
@@ -334,6 +590,9 @@ def _ivf_search(
             Xg_all = jnp.take(X_r, cid, axis=0).reshape(-1, X_sorted.shape[1])
             idg = jnp.take(ids_r, cid, axis=0).reshape(-1)
         else:
+            # 'rows': flat row gather. Works on >4 GB buffers (the 3D
+            # whole-chunk take crashes the TPU AOT compiler there; plain
+            # row gathers — like the re-rank's — compile and run fine).
             Xg_all = X_sorted[row_idx]  # (budget·chunk, d)
             idg = ids_sorted[row_idx]
         col_dead = (
@@ -352,13 +611,39 @@ def _ivf_search(
                 interpret=jax.default_backend() == "cpu",
             )
             pos = row_idx[jnp.maximum(p, 0)]
+        elif residual:
+            # Residual scoring: q·x = q·c_col (f32, from the centroid
+            # matmul already computed for voting) + (q−c_home)·r (ONE
+            # 1-pass bf16 MXU matmul — both factors are small within-
+            # cluster offsets, so bf16's relative rounding stays tiny in
+            # absolute terms) + c_home·r (f32 matvec). |x|² is exact f32
+            # from the index. Absolute score error ~0.1 vs ~0.45 when
+            # quantizing raw rows — keeps true neighbors inside the
+            # m-margin (measured 96.4% → f32-grade recall at 10M).
+            if aligned:
+                xn_g = jnp.take(xn_r, cid, axis=0).reshape(-1)
+            else:
+                xn_g = xnorm2[row_idx]
+            c_home = centroids[cells[0]]
+            qc = (Qb - c_home[None, :]).astype(X_sorted.dtype)
+            g1 = jnp.matmul(qc, Xg_all.T, preferred_element_type=jnp.float32)
+            g2 = jnp.matmul(Xg_all.astype(jnp.float32), c_home)  # (W,)
+            gq_sel = jnp.take(gq, cells[sel_ci], axis=1)  # (block, budget)
+            gq_exp = jnp.repeat(gq_sel, chunk, axis=1)    # (block, W)
+            sc = xn_g[None, :] - 2.0 * (g1 + g2[None, :] + gq_exp)
         else:
-            ng = jnp.sum(Xg_all * Xg_all, axis=-1)  # consistent with the
+            # norms in f32 regardless of the scan buffer dtype (bf16
+            # accumulation would swamp the m-margin)
+            Xg32 = Xg_all.astype(jnp.float32)
+            ng = jnp.sum(Xg32 * Xg32, axis=-1)  # consistent with the
             # gathered rows by construction (and cheaper than a row gather)
             g = jnp.matmul(
-                Qb, Xg_all.T, preferred_element_type=jnp.float32, precision=prec
+                Qb.astype(Xg_all.dtype), Xg_all.T,
+                preferred_element_type=jnp.float32, precision=prec,
             )
             sc = ng[None, :] - 2.0 * g  # rank-equivalent within each row
+
+        if scan_impl != "pallas":
             invalid = (idg[None, :] < 0) | (idg[None, :] == rows[:, None])
             buf = sc + MASK_VALUE * invalid.astype(sc.dtype)
             if merge == "exact":
@@ -372,7 +657,7 @@ def _ivf_search(
 
         # exact f32 re-rank of the m survivors (difference form: fused VPU,
         # no catastrophic cancellation, no norm gathers)
-        Xg = X_sorted[pos]  # (block, m, d) row gather — ~50 GB/s, cheap
+        Xg = rows_f32(pos)  # (block, m, d) row gather — ~50 GB/s, cheap
         diff = Qb[:, None, :] - Xg
         D2 = jnp.sum(diff * diff, axis=-1)
         D2 = jnp.where(vals >= MASK_VALUE * 0.5, MASK_VALUE, D2)
@@ -417,8 +702,6 @@ def ivf_knn(
     input gather (measured ~2.3 s of fixed overhead at 1M×128 when
     re-sorting queries from scratch).
     """
-    import numpy as np
-
     if index is None:
         if X is None:
             raise ValueError("[TorchDR-TPU] ERROR : pass X or a prebuilt index.")
@@ -428,7 +711,8 @@ def ivf_knn(
     # index so only one copy of the database is resident
     n = index.n
     arrays = (
-        index.centroids, index.X_sorted, index.ids_sorted, index.offsets, index.counts,
+        index.centroids, index.X_sorted, index.ids_sorted, index.offsets,
+        index.counts, index.X_lo, index.xnorm2,
     )
     chunk = index.chunk
     ncells_total = int(index.offsets.shape[0])
@@ -447,14 +731,17 @@ def ivf_knn(
             sb_chunks = 1.0
         budget = int(np.ceil(nprobe * max(1.0, sb_chunks)) + 4)
     budget = min(budget, (index.X_sorted.shape[0] - chunk) // chunk + 1)
-    m_eff = m if m is not None else max(2 * k, 32)
+    # wider margin when the scan is bf16: rank displacement of the
+    # quantized scores must stay inside the exactly-re-ranked m survivors
+    m_eff = m if m is not None else max(2 * k, 64 if index.X_lo is not None else 32)
 
     # Self-query fast path over the (possibly chunk-aligned) sorted layout:
     # dead pad rows (id −1) ride along as dead queries — they are excluded
     # from probe voting and their outputs are dropped by the scatter.
     total = index.X_sorted.shape[0] - chunk
+    Qs_lo = index.X_lo
     if (total + chunk) % block == 0:
-        # zero-copy: the queries ARE the database buffer (its tail pad rows
+        # zero-copy: the queries ARE the database buffer(s) (tail pad rows
         # ride along as dead queries). Slicing would duplicate the whole
         # database on device — fatal at 10M×128 (5.7 GB each).
         total = total + chunk
@@ -463,11 +750,16 @@ def ivf_knn(
     else:
         n_pad = -(-total // block) * block
         Qs = index.X_sorted[:total]
+        Qs_lo = None if Qs_lo is None else Qs_lo[:total]
         out_ids = index.ids_sorted[:total]
         if n_pad != total:
             Qs = jnp.concatenate(
                 [Qs, jnp.full((n_pad - total, Qs.shape[1]), 1e12, Qs.dtype)]
             )
+            if Qs_lo is not None:
+                Qs_lo = jnp.concatenate(
+                    [Qs_lo, jnp.zeros((n_pad - total, Qs.shape[1]), Qs_lo.dtype)]
+                )
             out_ids = jnp.concatenate(
                 [out_ids, jnp.full((n_pad - total,), -2, jnp.int32)]
             )
@@ -482,9 +774,13 @@ def ivf_knn(
     # silently lose their tail chunks (observed as recall stuck across
     # nprobe increases)
     max_ch = int(np.ceil(float(np.max(counts_h)) / chunk)) if counts_h.size else 1
-    if scan_impl == "xla" and index.X_sorted.nbytes > (4 << 30):
-        scan_impl = "slices"  # chunked takes from >4GB buffers crash the
-        # TPU AOT compiler; dynamic slices compile at any size
+    if index.X_sorted.nbytes > (4 << 30) and scan_impl in ("xla", "pallas"):
+        # chunked takes from >4 GB buffers crash the TPU AOT compiler —
+        # only reachable when split-precision storage was disabled (the
+        # bf16 hi plane is half the f32 bytes and stays under the limit)
+        scan_impl = "slices"
+    if index.X_lo is not None and scan_impl == "pallas":
+        scan_impl = "xla"  # the Pallas kernel has no split-storage path
 
     # Host-level query segmentation: one dispatch over 10M queries keeps
     # the MXU saturated for minutes, which the TPU runtime treats as a
@@ -492,36 +788,54 @@ def ivf_knn(
     # docs/ROUND2_STATUS.md). Cap each dispatch at ~2M queries; every
     # segment reuses the same compiled program (identical static shapes;
     # a short tail segment is padded with dead queries).
+    # scatter slot per query row (original order); dead rows → spill slot n
+    scatter_ids = jnp.where(out_ids >= 0, out_ids, n)
     if total > seg_rows:
         seg_blocks = max(1, seg_rows // block)
         seg = seg_blocks * block
-        d_parts, i_parts = [], []
+        # preallocated outputs + donated per-segment scatter: the
+        # accumulate-parts-then-concatenate formulation held an extra
+        # 2×(n,k) transient (~2.4 GB at 10M) at peak
+        out_d = jnp.zeros((n + 1, k), jnp.float32)
+        out_i = jnp.zeros((n + 1, k), jnp.int32)
         for a in range(0, total, seg):
             b = min(total, a + seg)
             Q_seg, r_seg = Qs[a:b], q_rows[a:b]
+            Ql_seg = None if Qs_lo is None else Qs_lo[a:b]
+            sid = scatter_ids[a:b]
             if b - a < seg:  # pad the tail with dead queries
                 pad = seg - (b - a)
                 Q_seg = jnp.concatenate(
                     [Q_seg, jnp.full((pad, Q_seg.shape[1]), 1e12, Q_seg.dtype)]
                 )
+                if Ql_seg is not None:
+                    Ql_seg = jnp.concatenate(
+                        [Ql_seg, jnp.zeros((pad, Q_seg.shape[1]), Ql_seg.dtype)]
+                    )
                 r_seg = jnp.concatenate([r_seg, jnp.full((pad,), -2, jnp.int32)])
+                sid = jnp.concatenate([sid, jnp.full((pad,), n, jnp.int32)])
             ds, is_ = _ivf_search(
                 Q_seg, r_seg, arrays, k, nprobe, budget, block, chunk, m_eff,
-                scan_precision, scan_impl, merge, max_ch,
+                scan_precision, scan_impl, merge, max_ch, Ql_seg,
+                jnp.asarray(a, jnp.int32),
             )
-            d_parts.append(ds.reshape(-1, k)[: b - a])
-            i_parts.append(is_.reshape(-1, k)[: b - a])
-        d = jnp.concatenate(d_parts, axis=0)
-        i = jnp.concatenate(i_parts, axis=0)
-    else:
-        d, i = _ivf_search(
-            Qs, q_rows, arrays, k, nprobe, budget, block, chunk, m_eff,
-            scan_precision, scan_impl, merge, max_ch,
-        )
-        d = d.reshape(-1, k)
-        i = i.reshape(-1, k)
-    # scatter back to original row order; dead rows land in the spill slot
-    scatter_ids = jnp.where(out_ids >= 0, out_ids, n)
+            out_d, out_i = _scatter_out_jit(out_d, out_i, sid, ds, is_)
+        return out_d[:n], out_i[:n]
+    d, i = _ivf_search(
+        Qs, q_rows, arrays, k, nprobe, budget, block, chunk, m_eff,
+        scan_precision, scan_impl, merge, max_ch, Qs_lo,
+    )
+    d = d.reshape(-1, k)
+    i = i.reshape(-1, k)
     out_d = jnp.zeros((n + 1, k), d.dtype).at[scatter_ids].set(d[:total])
     out_i = jnp.zeros((n + 1, k), jnp.int32).at[scatter_ids].set(i[:total])
     return out_d[:n], out_i[:n]
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _scatter_out_jit(out_d, out_i, sid, ds, is_):
+    k = out_d.shape[1]
+    return (
+        out_d.at[sid].set(ds.reshape(-1, k)),
+        out_i.at[sid].set(is_.reshape(-1, k)),
+    )
