@@ -427,6 +427,23 @@ class TestIVF:
             )
             assert agree > 0.999
 
+    def test_tournament_merge_exact_for_small_k(self):
+        """Hierarchical (per-slot top-t, then top-m) selection is provably
+        exact for k <= t: it must return the same neighbors as the wide
+        exact top_k merge."""
+        from torchdr_tpu.ops.ivf import ivf_build, ivf_knn
+
+        rng = np.random.default_rng(7)
+        centers = rng.normal(scale=8.0, size=(16, 12)).astype(np.float32)
+        X = centers[rng.integers(0, 16, 4000)] + rng.normal(
+            size=(4000, 12)
+        ).astype(np.float32)
+        index = ivf_build(X, n_clusters=16, kmeans_iters=8)
+        d1, i1 = ivf_knn(None, k=6, index=index, nprobe=6, merge="exact")
+        d2, i2 = ivf_knn(None, k=6, index=index, nprobe=6, merge="tournament")
+        assert np.array_equal(np.asarray(i1), np.asarray(i2))
+        assert np.allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
+
     def test_segmented_search_matches_monolithic(self):
         """Host-level query segmentation (the >30s-dispatch guard at 10M
         scale) must be bit-identical to the single-dispatch path."""

@@ -498,7 +498,11 @@ def _ivf_search(
         Dc = sq_dists_from_gram(qn, c_norm, gq)  # (block, ncells_total)
         # Shared probe set by rank-weighted per-query voting: every query
         # nominates its nearest cells; the block probes the most-nominated.
-        _, nom = lax.top_k(-Dc, per_query_probes)
+        # approx_min_k: nomination tolerates binning noise (votes aggregate
+        # over the block), and exact top_k over nlist-wide rows was the
+        # per-block cost floor at nlist ≥ 8k (~0.9 ms/block = ~35 s over
+        # a 10M-query search at nlist=16384).
+        _, nom = lax.approx_min_k(Dc, per_query_probes, recall_target=0.95)
         weights = 1.0 / (1.0 + jnp.arange(per_query_probes, dtype=jnp.float32))
         # dead queries (pad rows, negative ids) don't get a vote
         w_q = (rows >= 0).astype(jnp.float32)[:, None] * weights[None, :]
@@ -659,6 +663,24 @@ def _ivf_search(
                 # contract; ≥99.9% end-to-end recall needs exact selection
                 neg, cidx = lax.top_k(-buf, m)
                 vals = -neg
+            elif merge == "tournament":
+                # Hierarchical EXACT selection: per-slot top-t then top-m
+                # over the t·budget survivors. Exact for k ≤ t: a global
+                # top-k item is top-k WITHIN its slot, so the slot round
+                # never drops it. Both top_ks are narrow (chunk-wide /
+                # t·budget-wide) — far cheaper than one wide exact top_k,
+                # and none of approx_min_k's ~1% binning loss.
+                t = min(chunk, max(16, k))
+                nslots = buf.shape[1] // chunk  # = min(budget, ncells·max_ch)
+                b3 = (-buf).reshape(block, nslots, chunk)
+                neg1, i1 = lax.top_k(b3, t)               # (block, nslots, t)
+                flat = neg1.reshape(block, nslots * t)
+                neg2, i2 = lax.top_k(flat, min(m, nslots * t))
+                vals = -neg2
+                within = jnp.take_along_axis(
+                    i1.reshape(block, nslots * t), i2, axis=1
+                )
+                cidx = (i2 // t) * chunk + within
             else:
                 vals, cidx = lax.approx_min_k(buf, m, recall_target=0.99)
             pos = row_idx[cidx]         # (block, m): direct flat mapping
