@@ -417,12 +417,13 @@ def _assign_blockwise(X, centroids, block: int = 4096):
     jax.jit,
     static_argnames=(
         "k", "ncells", "budget", "block", "chunk", "m", "scan_precision", "scan_impl",
-        "merge", "max_ch",
+        "merge", "max_ch", "scan_fidelity",
     ),
 )
 def _ivf_search(
     Qs, q_rows, index_arrays, k, ncells, budget, block, chunk, m, scan_precision,
     scan_impl="xla", merge="approx", max_ch=None, Qs_lo=None, pos0=0,
+    scan_fidelity="full",
 ):
     """The probe kernel. See the module docstring for the design rationale.
 
@@ -442,7 +443,11 @@ def _ivf_search(
     nlist = centroids.shape[0]
     n_total = X_sorted.shape[0] - chunk  # valid rows (tail is padding)
     c_norm = jnp.sum(centroids * centroids, axis=-1)
-    per_query_probes = max(2, min(nlist, ncells // 2))
+    # every query nominates ~ncells cells: with fewer (ncells//2) the
+    # block vote rescued shared home cells but boundary queries' private
+    # cells fell below the cut — measured as a flat ~0.6% recall loss
+    # that raising nprobe did NOT fix (10M round G)
+    per_query_probes = max(2, min(nlist, ncells))
     if max_ch is None:
         max_ch = max(1, -(-int(budget) // max(1, ncells)) + 3)
     aligned = n_total % chunk == 0 and scan_impl in ("xla", "pallas")
@@ -451,6 +456,7 @@ def _ivf_search(
         ids_r = ids_sorted[:n_total].reshape(n_total // chunk, chunk)
         if residual:
             xn_r = xnorm2[:n_total].reshape(n_total // chunk, chunk)
+            X_lo_r = X_lo[:n_total].reshape(n_total // chunk, chunk, X_lo.shape[1])
     prec = {
         "default": lax.Precision.DEFAULT,
         "high": lax.Precision.HIGH,
@@ -502,7 +508,7 @@ def _ivf_search(
         # over the block), and exact top_k over nlist-wide rows was the
         # per-block cost floor at nlist ≥ 8k (~0.9 ms/block = ~35 s over
         # a 10M-query search at nlist=16384).
-        _, nom = lax.approx_min_k(Dc, per_query_probes, recall_target=0.95)
+        _, nom = lax.approx_min_k(Dc, per_query_probes, recall_target=0.995)
         weights = 1.0 / (1.0 + jnp.arange(per_query_probes, dtype=jnp.float32))
         # dead queries (pad rows, negative ids) don't get a vote
         w_q = (rows >= 0).astype(jnp.float32)[:, None] * weights[None, :]
@@ -625,21 +631,37 @@ def _ivf_search(
             pos = row_idx[jnp.maximum(p, 0)]
         elif residual:
             # Residual scoring: q·x = q·c_col (f32, from the centroid
-            # matmul already computed for voting) + (q−c_home)·r (ONE
-            # 1-pass bf16 MXU matmul — both factors are small within-
-            # cluster offsets, so bf16's relative rounding stays tiny in
-            # absolute terms) + c_home·r (f32 matvec). |x|² is exact f32
-            # from the index. Absolute score error ~0.1 vs ~0.45 when
-            # quantizing raw rows — keeps true neighbors inside the
-            # m-margin (measured 96.4% → f32-grade recall at 10M).
+            # matmul already computed for voting) + (q−c_home)·r (bf16 MXU
+            # matmuls) + c_home·r (f32 matvec). |x|² is exact f32 from the
+            # index. With scan_fidelity="full" the cross terms qc_hi·r_lo
+            # and qc_lo·r_hi ride along (THREE 1-pass bf16 matmuls + the
+            # r_lo plane gather): scores are f32-equivalent even for
+            # k-means cells that straddle two natural clusters, whose
+            # residual coords are ~±10 rather than ~±1 — measured as a
+            # flat ~0.5% recall loss under hi-only scoring that neither
+            # nprobe nor the m-margin recovered (2M/10M diagnostics).
             if aligned:
                 xn_g = jnp.take(xn_r, cid, axis=0).reshape(-1)
+                Xg_lo = (
+                    jnp.take(X_lo_r, cid, axis=0).reshape(-1, X_lo.shape[1])
+                    if scan_fidelity == "full" else None
+                )
             else:
                 xn_g = xnorm2[row_idx]
+                Xg_lo = X_lo[row_idx] if scan_fidelity == "full" else None
             c_home = centroids[cells[0]]
-            qc = (Qb - c_home[None, :]).astype(X_sorted.dtype)
+            qc32 = Qb - c_home[None, :]
+            qc = qc32.astype(X_sorted.dtype)
             g1 = jnp.matmul(qc, Xg_all.T, preferred_element_type=jnp.float32)
             g2 = jnp.matmul(Xg_all.astype(jnp.float32), c_home)  # (W,)
+            if Xg_lo is not None:
+                qc_lo = (qc32 - qc.astype(jnp.float32)).astype(X_sorted.dtype)
+                g1 = (
+                    g1
+                    + jnp.matmul(qc, Xg_lo.T, preferred_element_type=jnp.float32)
+                    + jnp.matmul(qc_lo, Xg_all.T, preferred_element_type=jnp.float32)
+                )
+                g2 = g2 + jnp.matmul(Xg_lo.astype(jnp.float32), c_home)
             gq_sel = jnp.take(gq, cells[sel_ci], axis=1)  # (block, budget)
             gq_exp = jnp.repeat(gq_sel, chunk, axis=1)    # (block, W)
             sc = xn_g[None, :] - 2.0 * (g1 + g2[None, :] + gq_exp)
@@ -716,6 +738,7 @@ def ivf_knn(
     scan_impl: str = "xla",
     merge: str = "approx",
     seg_rows: int = 1 << 21,
+    scan_fidelity: str = "full",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Approximate self-kNN of X through an IVF index.
 
@@ -847,13 +870,13 @@ def ivf_knn(
             ds, is_ = _ivf_search(
                 Q_seg, r_seg, arrays, k, nprobe, budget, block, chunk, m_eff,
                 scan_precision, scan_impl, merge, max_ch, Ql_seg,
-                jnp.asarray(a, jnp.int32),
+                jnp.asarray(a, jnp.int32), scan_fidelity,
             )
             out_d, out_i = _scatter_out_jit(out_d, out_i, sid, ds, is_)
         return out_d[:n], out_i[:n]
     d, i = _ivf_search(
         Qs, q_rows, arrays, k, nprobe, budget, block, chunk, m_eff,
-        scan_precision, scan_impl, merge, max_ch, Qs_lo,
+        scan_precision, scan_impl, merge, max_ch, Qs_lo, 0, scan_fidelity,
     )
     d = d.reshape(-1, k)
     i = i.reshape(-1, k)
