@@ -401,6 +401,10 @@ class TestIVF:
             assert split.X_lo is not None
             assert split.X_sorted.dtype == jnp.bfloat16
             assert split.xnorm2 is not None
+            # the lo plane must carry real residual bits: XLA's excess-
+            # precision pass elides f32->bf16->f32 convert chains, which
+            # silently zeroed lo on TPU before the bit-mask split
+            assert float(jnp.max(jnp.abs(split.X_lo.astype(jnp.float32)))) > 0
             # c_cell + r_hi + r_lo reconstructs the f32 rows to ~2⁻¹⁶ rel.
             pos = np.arange(split.X_sorted.shape[0])
             cell = np.searchsorted(np.asarray(split.offsets), pos, "right") - 1

@@ -329,6 +329,25 @@ def _permute_device(X, order_h, dest_h, out_rows, d, seg_bytes: int = 512 << 20)
     return out
 
 
+def _bf16_split(r):
+    """Exact (hi, lo) bf16 split of f32 via mantissa truncation.
+
+    The naive ``lo = r − f32(bf16(r))`` is UNSOUND under XLA: the TPU
+    backend's excess-precision simplification elides f32→bf16→f32
+    convert chains, compiling lo to bf16(r − r) = 0 — the residual
+    plane silently stored zeros (bisected at 500k: reconstruction error
+    was half a bf16 ulp, and scan_fidelity='full' ≡ 'hi' bit-for-bit).
+    Bit-masking the low mantissa halves cannot be elided: hi is the
+    top-16-bit truncation (exactly representable in bf16), and
+    r − hi is computed on untouched f32 values.
+    """
+    u = lax.bitcast_convert_type(r, jnp.uint32)
+    hi_f32 = lax.bitcast_convert_type(
+        u & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+    return hi_f32.astype(jnp.bfloat16), (r - hi_f32).astype(jnp.bfloat16)
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("seg",))
 def _residual_seg_jit(r_hi, r_lo, xn, x, cells, centroids, a, seg):
     """One segment of the residual split: r = x − c, bf16 hi/lo planes +
@@ -336,8 +355,7 @@ def _residual_seg_jit(r_hi, r_lo, xn, x, cells, centroids, a, seg):
     x_seg = lax.dynamic_slice_in_dim(x, a, seg, 0)
     c_seg = centroids[lax.dynamic_slice_in_dim(cells, a, seg, 0)]
     r = x_seg - c_seg
-    hi = r.astype(jnp.bfloat16)
-    lo = (r - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    hi, lo = _bf16_split(r)
     return (
         lax.dynamic_update_slice_in_dim(r_hi, hi, a, 0),
         lax.dynamic_update_slice_in_dim(r_lo, lo, a, 0),
@@ -651,11 +669,12 @@ def _ivf_search(
                 Xg_lo = X_lo[row_idx] if scan_fidelity == "full" else None
             c_home = centroids[cells[0]]
             qc32 = Qb - c_home[None, :]
-            qc = qc32.astype(X_sorted.dtype)
+            # _bf16_split, NOT .astype pairs: XLA elides f32→bf16→f32
+            # convert chains, which would zero qc_lo (see _bf16_split)
+            qc, qc_lo = _bf16_split(qc32)
             g1 = jnp.matmul(qc, Xg_all.T, preferred_element_type=jnp.float32)
             g2 = jnp.matmul(Xg_all.astype(jnp.float32), c_home)  # (W,)
             if Xg_lo is not None:
-                qc_lo = (qc32 - qc.astype(jnp.float32)).astype(X_sorted.dtype)
                 g1 = (
                     g1
                     + jnp.matmul(qc, Xg_lo.T, preferred_element_type=jnp.float32)
