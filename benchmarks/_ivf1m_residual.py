@@ -59,11 +59,12 @@ def main():
         log(step="build", tag=tag, build_s=round(time.perf_counter() - t0, 1),
             split=idx.X_lo is not None)
         for cfg in (
-            dict(nprobe=12, m=32),
-            dict(nprobe=12, m=64),
-            dict(nprobe=10, m=32),
+            dict(nprobe=12, m=32, merge="approx"),
+            dict(nprobe=12, m=32, merge="tournament"),
+            dict(nprobe=10, m=32, merge="tournament"),
+            dict(nprobe=16, m=32, merge="tournament"),
         ):
-            kw = dict(k=K, index=idx, scan_precision="high", merge="approx", **cfg)
+            kw = dict(k=K, index=idx, scan_precision="high", **cfg)
             d, i = ivf_knn(None, **kw)
             force(d)
             best = 1e9
