@@ -15,9 +15,11 @@ scanning:
   cells its queries want probed, the winning cells are expanded greedily
   (in vote order) into a static budget of fixed-size row chunks, and each
   (query-block × chunk) pair is one dense MXU matmul at reduced precision
-  feeding a candidate-score buffer. One ``approx_min_k`` pulls the top-m
-  per query, and an m-margin exact f32 re-rank (difference form, fused
-  VPU) fixes the final ranks.
+  feeding a candidate-score buffer. A merge stage pulls the top-m per
+  query — ``approx_min_k`` for wide-chunk f32 indexes, the hierarchical
+  exact "tournament" (per-slot top-t, then top-m of the survivors; exact
+  for k ≤ t) for residual indexes — and an m-margin exact f32 re-rank
+  (difference form, fused VPU) fixes the final ranks.
 
 Design choices are measurement-driven (see benchmarks/_ivf_phases.py and
 docs/ROUND2_STATUS.md): exact ``lax.top_k``/``take_along_axis`` merges and
