@@ -76,6 +76,15 @@ class IVFIndex(NamedTuple):
     # per-use binary search over offsets (searchsorted lowered to ~10
     # chained gathers per lookup inside the hot block loop — measured
     # +2.7 s at 1M)
+    super_centroids: jnp.ndarray | None = None  # (S, d) two-level coarse
+    # quantizer: k-means of the centroids themselves. The per-block
+    # nomination first picks the top-voted supers from an (block, S)
+    # matmul, then scores only their member cells — the (block, nlist)
+    # HIGH-precision matmul + nlist-wide approx_min_k that dominated the
+    # width-independent per-block cost at nlist ≥ 8k (~39 s of the 10M
+    # search) shrinks to S + n_supers·W wide.
+    super_members: jnp.ndarray | None = None  # (S, W) int32 member cell ids
+    # per super, −1 padding; W = padded max membership
 
 
 def auto_nlist(n: int) -> int:
@@ -83,9 +92,23 @@ def auto_nlist(n: int) -> int:
     return int(max(16, min(4 * (n ** 0.5), n / 39, 8192)))
 
 
-#: device-memory budget the build's 2×-data transient permute must fit in
+#: fallback device-memory budget for the build's 2×-data transient permute
 #: (v5e HBM is 16 GB; leave headroom for XLA workspace + fragmentation)
 _PERMUTE_HBM_BUDGET = 13 << 30
+
+
+def _permute_hbm_budget() -> int:
+    """Device HBM budget for the permute transient, from the runtime device
+    when it reports memory stats (smaller-HBM devices would otherwise pick
+    the 2×-data device path and OOM instead of falling back to host)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        limit = int(stats.get("bytes_limit", 0))
+        if limit > 0:
+            return limit - (3 << 30)  # XLA workspace + fragmentation headroom
+    except Exception:
+        pass
+    return _PERMUTE_HBM_BUDGET
 
 
 def ivf_build(
@@ -98,6 +121,7 @@ def ivf_build(
     align: bool = True,
     verbose: bool = False,
     split_bytes: int = 4 << 30,
+    n_superlist: int | None = None,
 ) -> IVFIndex:
     """Build the inverted file index (host-synced shapes; build once).
 
@@ -161,12 +185,25 @@ def ivf_build(
     centroids.block_until_ready()
     _mark("kmeans")
 
+    # Two-level coarse quantizer for hierarchical nomination: k-means the
+    # centroids themselves into supers + fixed-width member lists. Cheap
+    # (nlist points) and only worth carrying once nlist is in the
+    # thousands (the per-block nomination cost it removes scales ~nlist).
+    if n_superlist is None:
+        n_superlist = max(32, nlist // 64) if nlist >= 1024 else 0
+    if n_superlist and n_superlist < nlist:
+        supers, members = _build_supers(centroids, int(n_superlist), key)
+        _mark("supers")
+    else:
+        supers = members = None
+
     # Device-resident big build: when the dataset + a second permute buffer
     # fit HBM, push ONCE (segmented) and keep everything on device — the
     # host-permute path crosses the thin axon link three times (assign
     # pushes + permuted push) and measured 400-650 s at 10M×128.
     x_bytes = n * X.shape[1] * 4
-    if is_host and (1 << 30) < x_bytes and 2 * x_bytes + (1 << 30) < _PERMUTE_HBM_BUDGET:
+    hbm_budget = _permute_hbm_budget()
+    if is_host and (1 << 30) < x_bytes and 2 * x_bytes + (1 << 30) < hbm_budget:
         X = _push_segmented(np.ascontiguousarray(X, np.float32))
         X.block_until_ready()
         is_host = False
@@ -210,7 +247,7 @@ def ivf_build(
                 X_sorted, X_lo, xnorm2 = _residual_split_device(
                     X_sorted.astype(jnp.float32), cells_dev, centroids
                 )
-        elif not is_host and 2 * f32_bytes + (1 << 30) < _PERMUTE_HBM_BUDGET:
+        elif not is_host and 2 * f32_bytes + (1 << 30) < hbm_budget:
             # on-device permute: segmented gather+scatter into a donated
             # output buffer (peak ≈ 2×data + one segment — the single-shot
             # scatter's 3×-data transient OOM'd at 10M×128)
@@ -234,7 +271,17 @@ def ivf_build(
             # through torch when available — its index_copy_ is
             # multithreaded; numpy fancy indexing is single-threaded and
             # measured 127 s on 10M×128.
-            Xh = np.asarray(X) if not is_host else X
+            if is_host:
+                Xh = X
+            else:
+                # device→host pull (only reached when the device permute's
+                # 2×-data transient exceeds HBM): segmented like the push —
+                # one monolithic pull degrades superlinearly on the tunnel
+                Xh = _pull_segmented(X)
+            # normalize dtype/layout once: covers f64 numpy inputs (np.random
+            # default) for both the torch index_copy_ branch (which would
+            # raise on dtype mismatch) and the numpy branch
+            Xh = np.ascontiguousarray(Xh, np.float32)
             dest_src = np.empty((n,), np.int64)
             dest_src[order_h] = dest_h  # row j of X lands at dest_src[j]
             ids_h = np.full((total + chunk,), -1, np.int32)
@@ -278,7 +325,7 @@ def ivf_build(
         offsets = jnp.asarray(offs_h, jnp.int32)
         return IVFIndex(
             centroids, X_sorted, ids_sorted, offsets, counts, chunk, n,
-            X_lo, xnorm2, cells_dev,
+            X_lo, xnorm2, cells_dev, supers, members,
         )
 
     order_h = np.argsort(labels_h, kind="stable")
@@ -289,7 +336,27 @@ def ivf_build(
     # pad the tail so dynamic slices of length `chunk` never run off the end
     X_sorted = jnp.concatenate([X_sorted, jnp.zeros((chunk, d), X_sorted.dtype)], axis=0)
     ids_sorted = jnp.concatenate([ids_sorted, jnp.full((chunk,), -1, jnp.int32)])
-    return IVFIndex(centroids, X_sorted, ids_sorted, offsets, counts, chunk, n)
+    return IVFIndex(
+        centroids, X_sorted, ids_sorted, offsets, counts, chunk, n,
+        super_centroids=supers, super_members=members,
+    )
+
+
+def _pull_segmented(X, seg_bytes: int = 512 << 20) -> np.ndarray:
+    """Device→host transfer in ~512 MB row slices (the monolithic pull
+    degrades superlinearly on thin links, mirroring the push)."""
+    n = X.shape[0]
+    row_bytes = max(1, int(np.prod(X.shape[1:])) * X.dtype.itemsize)
+    seg = max(1, seg_bytes // row_bytes)
+    if n <= seg:
+        return np.asarray(X)
+    out = None
+    for a in range(0, n, seg):
+        seg_h = np.asarray(X[a : a + seg])
+        if out is None:
+            out = np.empty(X.shape, seg_h.dtype)
+        out[a : a + seg] = seg_h
+    return out
 
 
 def _push_segmented(Xh, seg_bytes: int = 512 << 20):
@@ -381,6 +448,25 @@ def _residual_split_device(x, cells, centroids, seg_bytes: int = 512 << 20):
     return r_hi, r_lo, xn
 
 
+def _build_supers(centroids, S: int, key):
+    """k-means the cell centroids into S super-centroids + padded member
+    lists ((S, W) int32, −1 padding). Unweighted k-means is adequate: the
+    supers only gate nomination, cell geometry itself is unchanged."""
+    sup, labels, _ = kmeans_fit(
+        centroids, S, jax.random.fold_in(key, 7), max_iter=25,
+        init="random" if S >= 2048 else "++",
+    )
+    labels_h = np.asarray(labels)
+    counts_h = np.bincount(labels_h, minlength=S)
+    W = max(8, int(-(-int(counts_h.max()) // 8) * 8))
+    members = np.full((S, W), -1, np.int32)
+    order = np.argsort(labels_h, kind="stable")
+    starts = np.concatenate([[0], np.cumsum(counts_h)[:-1]])
+    for s in range(S):
+        members[s, : counts_h[s]] = order[starts[s] : starts[s] + counts_h[s]]
+    return sup, jnp.asarray(members)
+
+
 def _cells_of_layout(padded_h, chunk, nlist):
     """Host: cell id of every row slot in the aligned sorted layout."""
     cells_h = np.repeat(np.arange(nlist, dtype=np.int32), padded_h)
@@ -431,17 +517,10 @@ def _assign_blockwise(X, centroids, block: int = 4096):
     return lax.map(process, jnp.arange(n_pad // block)).reshape(-1)[:n]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "k", "ncells", "budget", "block", "chunk", "m", "scan_precision", "scan_impl",
-        "merge", "max_ch", "scan_fidelity",
-    ),
-)
-def _ivf_search(
+def _ivf_search_impl(
     Qs, q_rows, index_arrays, k, ncells, budget, block, chunk, m, scan_precision,
     scan_impl="xla", merge="approx", max_ch=None, Qs_lo=None, pos0=0,
-    scan_fidelity="full",
+    scan_fidelity="full", n_supers=0, queries_raw=False,
 ):
     """The probe kernel. See the module docstring for the design rationale.
 
@@ -454,7 +533,14 @@ def _ivf_search(
     position ``pos0 + i``) and re-rank rows reconstruct x = c + hi + lo.
     """
     (centroids, X_sorted, ids_sorted, offsets, counts, X_lo, xnorm2,
-     cells_sorted) = index_arrays
+     cells_sorted, super_centroids, super_members) = index_arrays
+    use_supers = n_supers > 0 and super_centroids is not None
+    if use_supers:
+        S, memb_w = super_members.shape
+        n_supers = min(n_supers, S)
+        s_norm = jnp.sum(super_centroids * super_centroids, axis=-1)
+        if n_supers * memb_w < ncells or n_supers >= S:
+            use_supers = False  # member union too thin to pick ncells cells
     residual = xnorm2 is not None
     nq = Qs.shape[0]
     n_blocks = nq // block
@@ -506,37 +592,90 @@ def _ivf_search(
             Qb = Qb + lax.dynamic_slice_in_dim(
                 Qs_lo, b * block, block, axis=0
             ).astype(jnp.float32)
-        if residual:
+        if residual and not queries_raw:
             # self-queries are residual rows: add back their cell centroid
             q_pos = pos0 + b * block + jnp.arange(block, dtype=jnp.int32)
             Qb = Qb + centroids[cell_of(q_pos)]
         rows = lax.dynamic_slice_in_dim(q_rows, b * block, block, axis=0)
         qn = jnp.sum(Qb * Qb, axis=-1)
-        # HIGH precision: under residual storage gq enters the scan scores
-        # (q·c_cell term), where default bf16 rounding of large-magnitude
-        # rows would swamp within-cell distance gaps
-        gq = jnp.matmul(
-            Qb, centroids.T, preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGH,
-        )
-        Dc = sq_dists_from_gram(qn, c_norm, gq)  # (block, ncells_total)
-        # Shared probe set by rank-weighted per-query voting: every query
-        # nominates its nearest cells; the block probes the most-nominated.
-        # approx_min_k: nomination tolerates binning noise (votes aggregate
-        # over the block), and exact top_k over nlist-wide rows was the
-        # per-block cost floor at nlist ≥ 8k (~0.9 ms/block = ~35 s over
-        # a 10M-query search at nlist=16384).
-        _, nom = lax.approx_min_k(Dc, per_query_probes, recall_target=0.995)
         weights = 1.0 / (1.0 + jnp.arange(per_query_probes, dtype=jnp.float32))
         # dead queries (pad rows, negative ids) don't get a vote
-        w_q = (rows >= 0).astype(jnp.float32)[:, None] * weights[None, :]
-        votes = (
-            jnp.zeros((nlist,), jnp.float32)
-            .at[nom.reshape(-1)]
-            .add(w_q.reshape(-1))
-        )
-        score = votes - jnp.min(Dc, axis=0) / 1e12
-        _, cells = lax.top_k(score, ncells)  # vote-ordered winning cells
+        alive = (rows >= 0).astype(jnp.float32)
+        w_q = alive[:, None] * weights[None, :]
+        if use_supers:
+            # Two-level nomination: pick the block's top-voted SUPERS from
+            # an (block, S) matmul, then score only their member cells —
+            # the (block, nlist) HIGH matmul + nlist-wide approx_min_k
+            # below was ~39 s of width-independent per-block cost at 10M
+            # (nlist=16384); the member union is n_supers·W ≈ nlist/16 wide.
+            gqs = jnp.matmul(
+                Qb, super_centroids.T, preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGH,
+            )
+            Dcs = sq_dists_from_gram(qn, s_norm, gqs)  # (block, S)
+            k_sup = min(4, S)
+            _, nom_s = lax.approx_min_k(Dcs, k_sup, recall_target=0.995)
+            w_s = alive[:, None] * (
+                1.0 / (1.0 + jnp.arange(k_sup, dtype=jnp.float32))
+            )[None, :]
+            votes_s = (
+                jnp.zeros((S,), jnp.float32)
+                .at[nom_s.reshape(-1)]
+                .add(w_s.reshape(-1))
+            )
+            votes_s = votes_s - jnp.min(Dcs, axis=0) / 1e12
+            _, top_s = lax.top_k(votes_s, n_supers)
+            members = super_members[top_s].reshape(-1)  # (M,) −1 pads
+            mvalid = members >= 0
+            mem = jnp.maximum(members, 0)
+            gq_m = jnp.matmul(
+                Qb, centroids[mem].T, preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGH,
+            )  # (block, M)
+            Dc = sq_dists_from_gram(qn, c_norm[mem], gq_m)
+            Dc = Dc + MASK_VALUE * (~mvalid)[None, :].astype(Dc.dtype)
+            _, nom = lax.approx_min_k(Dc, per_query_probes, recall_target=0.995)
+            votes = (
+                jnp.zeros((mem.shape[0],), jnp.float32)
+                .at[nom.reshape(-1)]
+                .add(w_q.reshape(-1))
+            )
+            votes = jnp.where(mvalid, votes, -1.0)
+            score = votes - jnp.min(Dc, axis=0) / 1e12
+            sv, msel = lax.top_k(score, ncells)  # vote-ordered member slots
+            cells = mem[msel]
+            # a slot that fell on member padding (possible only when the
+            # union has < ncells valid cells) must scan nothing
+            cells_valid = sv > -0.5
+            gq_cells = jnp.take_along_axis(
+                gq_m, jnp.broadcast_to(msel[None, :], (block, ncells)), axis=1
+            )  # (block, ncells) — the residual path's q·c_cell term
+        else:
+            # HIGH precision: under residual storage gq enters the scan
+            # scores (q·c_cell term), where default bf16 rounding of
+            # large-magnitude rows would swamp within-cell distance gaps
+            gq = jnp.matmul(
+                Qb, centroids.T, preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGH,
+            )
+            Dc = sq_dists_from_gram(qn, c_norm, gq)  # (block, ncells_total)
+            # Shared probe set by rank-weighted per-query voting: every
+            # query nominates its nearest cells; the block probes the
+            # most-nominated. approx_min_k: nomination tolerates binning
+            # noise (votes aggregate over the block), and exact top_k over
+            # nlist-wide rows was the per-block cost floor at nlist ≥ 8k
+            # (~0.9 ms/block = ~35 s over a 10M-query search at
+            # nlist=16384).
+            _, nom = lax.approx_min_k(Dc, per_query_probes, recall_target=0.995)
+            votes = (
+                jnp.zeros((nlist,), jnp.float32)
+                .at[nom.reshape(-1)]
+                .add(w_q.reshape(-1))
+            )
+            score = votes - jnp.min(Dc, axis=0) / 1e12
+            _, cells = lax.top_k(score, ncells)  # vote-ordered winning cells
+            cells_valid = jnp.ones((ncells,), bool)
+            gq_cells = jnp.take(gq, cells, axis=1)
 
         # Expand vote-ordered cells into `budget` chunk slots, round-robin:
         # the top-voted cell (the block's home cell) gets ALL its chunks
@@ -544,7 +683,7 @@ def _ivf_search(
         # tight budget truncates the deep tails of big low-priority cells
         # instead of dropping whole cells. All in (ncells · max_ch)-sized
         # index arithmetic; every scanned slot is productive.
-        cnts = counts[cells]                              # (ncells,)
+        cnts = jnp.where(cells_valid, counts[cells], 0)   # (ncells,)
         nch = (cnts + (chunk - 1)) // chunk               # chunks per cell
         ci_g = jnp.tile(jnp.arange(ncells, dtype=jnp.int32), max_ch)
         w_g = jnp.repeat(jnp.arange(max_ch, dtype=jnp.int32), ncells)
@@ -681,7 +820,7 @@ def _ivf_search(
                     + jnp.matmul(qc_lo, Xg_all.T, preferred_element_type=jnp.float32)
                 )
                 g2 = g2 + jnp.matmul(Xg_lo.astype(jnp.float32), c_home)
-            gq_sel = jnp.take(gq, cells[sel_ci], axis=1)  # (block, budget)
+            gq_sel = jnp.take(gq_cells, sel_ci, axis=1)   # (block, budget)
             gq_exp = jnp.repeat(gq_sel, chunk, axis=1)    # (block, W)
             sc = xn_g[None, :] - 2.0 * (g1 + g2[None, :] + gq_exp)
         else:
@@ -742,6 +881,74 @@ def _ivf_search(
     return d, i
 
 
+#: jitted entry; the raw impl is reused inside shard_map by parallel/ivf.py
+_ivf_search = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "ncells", "budget", "block", "chunk", "m", "scan_precision", "scan_impl",
+        "merge", "max_ch", "scan_fidelity", "n_supers", "queries_raw",
+    ),
+)(_ivf_search_impl)
+
+
+def _resolve_search_knobs(index, k, nprobe, m, budget, merge, scan_impl,
+                          nprobe_supers=None):
+    """Resolve the data-dependent search knobs for an index.
+
+    Shared by :func:`ivf_knn` and the mesh-sharded query path
+    (parallel/ivf.py). Returns (nprobe, budget, m_eff, merge, max_ch,
+    scan_impl, n_supers).
+    """
+    chunk = index.chunk
+    nlist_total = int(index.centroids.shape[0])
+    if nprobe_supers is None:
+        # hierarchical nomination pays off once the flat (block, nlist)
+        # matmul + nlist-wide selection dominate the per-block fixed cost
+        n_supers = 12 if nlist_total >= 4096 else 0
+    else:
+        n_supers = int(nprobe_supers)
+    if index.super_centroids is None:
+        n_supers = 0
+    if merge is None:
+        # residual (split) indexes pair best with the hierarchical exact
+        # tournament (approx_min_k's binning measurably degrades on the
+        # residual score structure: 98.2% vs 99.8% at 500k np16), while
+        # f32 indexes with wide chunks (the ≤4 GB tier) favor approx
+        # (tournament's per-slot top_k cost grows with chunk width)
+        merge = "tournament" if index.X_lo is not None else "approx"
+    ncells_total = int(index.offsets.shape[0])
+    nprobe = min(nprobe, ncells_total)
+    counts_h = np.asarray(index.counts, np.float64)
+    if budget is None:
+        # expected chunks over the probed cells: cells are probed roughly
+        # in proportion to their mass (queries live inside them), so use
+        # the size-biased mean of per-cell chunk counts, plus slack
+        total = counts_h.sum()
+        if total > 0:
+            sb_chunks = float(
+                (counts_h * np.ceil(counts_h / chunk)).sum() / total
+            )
+        else:
+            sb_chunks = 1.0
+        budget = int(np.ceil(nprobe * max(1.0, sb_chunks)) + 4)
+    budget = min(budget, (index.X_sorted.shape[0] - chunk) // chunk + 1)
+    # wider margin when the scan is bf16: rank displacement of the
+    # quantized scores must stay inside the exactly-re-ranked m survivors
+    m_eff = m if m is not None else max(2 * k, 64 if index.X_lo is not None else 32)
+    # expansion depth must cover the BIGGEST cell, or large home cells
+    # silently lose their tail chunks (observed as recall stuck across
+    # nprobe increases)
+    max_ch = int(np.ceil(float(np.max(counts_h)) / chunk)) if counts_h.size else 1
+    if index.X_sorted.nbytes > (4 << 30) and scan_impl in ("xla", "pallas"):
+        # chunked takes from >4 GB buffers crash the TPU AOT compiler —
+        # only reachable when split-precision storage was disabled (the
+        # bf16 hi plane is half the f32 bytes and stays under the limit)
+        scan_impl = "slices"
+    if index.X_lo is not None and scan_impl == "pallas":
+        scan_impl = "xla"  # the Pallas kernel has no split-storage path
+    return nprobe, budget, m_eff, merge, max_ch, scan_impl, n_supers
+
+
 def ivf_knn(
     X: jnp.ndarray | None,
     k: int = 15,
@@ -758,6 +965,7 @@ def ivf_knn(
     merge: str | None = None,
     seg_rows: int = 1 << 21,
     scan_fidelity: str = "full",
+    nprobe_supers: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Approximate self-kNN of X through an IVF index.
 
@@ -782,37 +990,17 @@ def ivf_knn(
     # rows); callers at memory-bound scales pass X=None with a prebuilt
     # index so only one copy of the database is resident
     n = index.n
-    if merge is None:
-        # residual (split) indexes pair best with the hierarchical exact
-        # tournament (approx_min_k's binning measurably degrades on the
-        # residual score structure: 98.2% vs 99.8% at 500k np16), while
-        # f32 indexes with wide chunks (the ≤4 GB tier) favor approx
-        # (tournament's per-slot top_k cost grows with chunk width)
-        merge = "tournament" if index.X_lo is not None else "approx"
+    nprobe, budget, m_eff, merge, max_ch, scan_impl, n_supers = (
+        _resolve_search_knobs(
+            index, k, nprobe, m, budget, merge, scan_impl, nprobe_supers
+        )
+    )
     arrays = (
         index.centroids, index.X_sorted, index.ids_sorted, index.offsets,
         index.counts, index.X_lo, index.xnorm2, index.cells_sorted,
+        index.super_centroids, index.super_members,
     )
     chunk = index.chunk
-    ncells_total = int(index.offsets.shape[0])
-    nprobe = min(nprobe, ncells_total)
-    counts_h = np.asarray(index.counts, np.float64)
-    if budget is None:
-        # expected chunks over the probed cells: cells are probed roughly
-        # in proportion to their mass (queries live inside them), so use
-        # the size-biased mean of per-cell chunk counts, plus slack
-        total = counts_h.sum()
-        if total > 0:
-            sb_chunks = float(
-                (counts_h * np.ceil(counts_h / chunk)).sum() / total
-            )
-        else:
-            sb_chunks = 1.0
-        budget = int(np.ceil(nprobe * max(1.0, sb_chunks)) + 4)
-    budget = min(budget, (index.X_sorted.shape[0] - chunk) // chunk + 1)
-    # wider margin when the scan is bf16: rank displacement of the
-    # quantized scores must stay inside the exactly-re-ranked m survivors
-    m_eff = m if m is not None else max(2 * k, 64 if index.X_lo is not None else 32)
 
     # Self-query fast path over the (possibly chunk-aligned) sorted layout:
     # dead pad rows (id −1) ride along as dead queries — they are excluded
@@ -849,18 +1037,6 @@ def ivf_knn(
         out_ids >= 0, out_ids + (0 if exclude_self else n), out_ids
     )
 
-    # expansion depth must cover the BIGGEST cell, or large home cells
-    # silently lose their tail chunks (observed as recall stuck across
-    # nprobe increases)
-    max_ch = int(np.ceil(float(np.max(counts_h)) / chunk)) if counts_h.size else 1
-    if index.X_sorted.nbytes > (4 << 30) and scan_impl in ("xla", "pallas"):
-        # chunked takes from >4 GB buffers crash the TPU AOT compiler —
-        # only reachable when split-precision storage was disabled (the
-        # bf16 hi plane is half the f32 bytes and stays under the limit)
-        scan_impl = "slices"
-    if index.X_lo is not None and scan_impl == "pallas":
-        scan_impl = "xla"  # the Pallas kernel has no split-storage path
-
     # Host-level query segmentation: one dispatch over 10M queries keeps
     # the MXU saturated for minutes, which the TPU runtime treats as a
     # wedged worker and kills (same failure as the 1M exact tier —
@@ -896,13 +1072,14 @@ def ivf_knn(
             ds, is_ = _ivf_search(
                 Q_seg, r_seg, arrays, k, nprobe, budget, block, chunk, m_eff,
                 scan_precision, scan_impl, merge, max_ch, Ql_seg,
-                jnp.asarray(a, jnp.int32), scan_fidelity,
+                jnp.asarray(a, jnp.int32), scan_fidelity, n_supers,
             )
             out_d, out_i = _scatter_out_jit(out_d, out_i, sid, ds, is_)
         return out_d[:n], out_i[:n]
     d, i = _ivf_search(
         Qs, q_rows, arrays, k, nprobe, budget, block, chunk, m_eff,
         scan_precision, scan_impl, merge, max_ch, Qs_lo, 0, scan_fidelity,
+        n_supers,
     )
     d = d.reshape(-1, k)
     i = i.reshape(-1, k)
@@ -917,4 +1094,221 @@ def _scatter_out_jit(out_d, out_i, sid, ds, is_):
     return (
         out_d.at[sid].set(ds.reshape(-1, k)),
         out_i.at[sid].set(is_.reshape(-1, k)),
+    )
+
+
+def ivf_knn_queries(
+    Q,
+    index: IVFIndex,
+    k: int = 15,
+    nprobe: int = 12,
+    query_ids=None,
+    block: int = 256,
+    m: int | None = None,
+    scan_precision: str = "high",
+    budget: int | None = None,
+    scan_impl: str = "xla",
+    merge: str | None = None,
+    seg_rows: int = 1 << 21,
+    scan_fidelity: str = "full",
+    nprobe_supers: int | None = None,
+    sort_queries: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """kNN of arbitrary query rows against a prebuilt IVF index.
+
+    The cross-query path (reference analog: Faiss search with Y ≠ X,
+    torchdr/distance/faiss.py:225-310 and the DataLoader per-chunk search
+    :741-867). ``query_ids`` optionally carries one database row id per
+    query to exclude from its results (self-exclusion when Q ⊂ database).
+    Queries are sorted by home cell first (``sort_queries``) so blocks
+    stay cluster-coherent — the property the self-query fast path gets
+    for free from the index layout.
+
+    Returns ``(dists, indices)`` of shape ``(nq, k)`` in Q's row order;
+    ``indices`` are original database row ids.
+    """
+    n = index.n
+    nprobe, budget, m_eff, merge, max_ch, scan_impl, n_supers = (
+        _resolve_search_knobs(
+            index, k, nprobe, m, budget, merge, scan_impl, nprobe_supers
+        )
+    )
+    arrays = (
+        index.centroids, index.X_sorted, index.ids_sorted, index.offsets,
+        index.counts, index.X_lo, index.xnorm2, index.cells_sorted,
+        index.super_centroids, index.super_members,
+    )
+    chunk = index.chunk
+    Q = jnp.asarray(Q, jnp.float32)
+    nq = Q.shape[0]
+
+    if sort_queries:
+        labels = _assign_blockwise(Q, index.centroids)
+        order = jnp.argsort(labels)
+        Q = Q[order]
+        if query_ids is not None:
+            query_ids = jnp.asarray(query_ids, jnp.int32)[order]
+
+    # exclusion ids: the database id to mask per query (n = match nothing)
+    excl = (
+        jnp.asarray(query_ids, jnp.int32)
+        if query_ids is not None
+        else jnp.full((nq,), n, jnp.int32)
+    )
+
+    n_pad = -(-nq // block) * block
+    if n_pad != nq:
+        Q = jnp.concatenate(
+            [Q, jnp.full((n_pad - nq, Q.shape[1]), 1e12, Q.dtype)]
+        )
+        excl = jnp.concatenate([excl, jnp.full((n_pad - nq,), -2, jnp.int32)])
+
+    d_parts, i_parts = [], []
+    seg = max(block, (seg_rows // block) * block)
+    for a in range(0, n_pad, seg):
+        b = min(n_pad, a + seg)
+        Q_seg, e_seg = Q[a:b], excl[a:b]
+        if b - a < seg and n_pad > seg:  # pad tail to reuse the compile
+            pad = seg - (b - a)
+            Q_seg = jnp.concatenate(
+                [Q_seg, jnp.full((pad, Q.shape[1]), 1e12, Q.dtype)]
+            )
+            e_seg = jnp.concatenate([e_seg, jnp.full((pad,), -2, jnp.int32)])
+        ds, is_ = _ivf_search(
+            Q_seg, e_seg, arrays, k, nprobe, budget, block, chunk, m_eff,
+            scan_precision, scan_impl, merge, max_ch, None,
+            jnp.asarray(0, jnp.int32), scan_fidelity, n_supers, True,
+        )
+        d_parts.append(ds.reshape(-1, k))
+        i_parts.append(is_.reshape(-1, k))
+    d = jnp.concatenate(d_parts, axis=0)[:nq]
+    i = jnp.concatenate(i_parts, axis=0)[:nq]
+    if sort_queries:
+        inv = jnp.zeros((nq,), jnp.int32).at[order].set(jnp.arange(nq))
+        d, i = d[inv], i[inv]
+    return d, i
+
+
+def ivf_build_from_batches(
+    batches,
+    n_clusters: int | None = None,
+    key=None,
+    train_size: int = 25_600,
+    kmeans_iters: int = 25,
+    chunk: int | None = None,
+    verbose: bool = False,
+    split_bytes: int = 4 << 30,
+    n_superlist: int | None = None,
+) -> IVFIndex:
+    """Build an IVF index incrementally from an iterable of host batches.
+
+    The streaming analog of the reference's two-pass DataLoader build
+    (train quantizer on sampled batches, then assign/add per batch —
+    torchdr/distance/faiss.py:594-738). Batches may be numpy arrays,
+    torch tensors, or (data, target) tuples. The full dataset is NEVER
+    materialized as one unsorted host array: each batch is written
+    directly into its destination slots of the sorted layout, so peak
+    host memory is the sorted buffer + one batch (vs 2× dataset for
+    concatenate-then-permute). Device memory holds only the training
+    sample, per-batch assignment pushes, and the final pushed planes.
+    """
+    batch_list = []
+    for batch in batches:
+        if isinstance(batch, (list, tuple)):
+            batch = batch[0]
+        if hasattr(batch, "detach"):
+            batch = batch.detach().cpu().numpy()
+        batch_list.append(np.ascontiguousarray(batch, np.float32))
+    if not batch_list:
+        raise ValueError("[TorchDR-TPU] ERROR : empty batch iterable.")
+    n = sum(b.shape[0] for b in batch_list)
+    d = batch_list[0].shape[1]
+    nlist = n_clusters or auto_nlist(n)
+    key = key if key is not None else jax.random.PRNGKey(0)
+    if chunk is None:
+        mean_cell = max(1, n // max(1, nlist))
+        chunk = int(min(512, max(64, -(-int(1.3 * mean_cell) // 64) * 64)))
+    chunk = min(chunk, max(64, n))
+
+    # pass 1a: training sample — proportional per-batch strided subsample
+    train_size = min(n, max(train_size, 64 * nlist))
+    rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 1 << 30)))
+    parts = []
+    for b in batch_list:
+        take = max(1, int(round(train_size * b.shape[0] / n)))
+        sel = rng.choice(b.shape[0], min(take, b.shape[0]), replace=False)
+        parts.append(b[np.sort(sel)])
+    train = jnp.asarray(np.concatenate(parts)[:train_size])
+    centroids, _, _ = kmeans_fit(
+        train, nlist, key, max_iter=kmeans_iters,
+        init="random" if nlist >= 2048 else "++",
+    )
+    centroids.block_until_ready()
+
+    if n_superlist is None:
+        n_superlist = max(32, nlist // 64) if nlist >= 1024 else 0
+    if n_superlist and n_superlist < nlist:
+        supers, members = _build_supers(centroids, int(n_superlist), key)
+    else:
+        supers = members = None
+
+    # pass 1b: assign each batch (only labels come back to host)
+    labels_per_batch = [
+        _assign_host_segmented(b, centroids) for b in batch_list
+    ]
+    counts_h = np.zeros((nlist,), np.int64)
+    for lab in labels_per_batch:
+        counts_h += np.bincount(lab, minlength=nlist)
+
+    # aligned layout (same convention as ivf_build align=True)
+    padded = (np.ceil(counts_h / chunk).astype(np.int64) * chunk)
+    offs_h = np.concatenate([[0], np.cumsum(padded)[:-1]]).astype(np.int64)
+    total = int(padded.sum())
+
+    # pass 2: write each batch straight into its sorted destination slots
+    Xs_h = np.zeros((total + chunk, d), np.float32)
+    ids_h = np.full((total + chunk,), -1, np.int32)
+    fill = offs_h.copy()  # next free slot per cell
+    row0 = 0
+    for b_arr, lab in zip(batch_list, labels_per_batch):
+        order = np.argsort(lab, kind="stable")
+        lab_s = lab[order]
+        # consecutive runs per cell → contiguous destination ranges
+        cell_ids, run_starts = np.unique(lab_s, return_index=True)
+        run_ends = np.append(run_starts[1:], lab_s.shape[0])
+        within = np.arange(lab_s.shape[0]) - run_starts[
+            np.searchsorted(cell_ids, lab_s)
+        ]
+        dest = fill[lab_s] + within
+        fill[cell_ids] += run_ends - run_starts
+        Xs_h[dest] = b_arr[order]
+        ids_h[dest] = row0 + order.astype(np.int32)
+        row0 += b_arr.shape[0]
+
+    counts = jnp.asarray(counts_h.astype(np.int32))
+    offsets = jnp.asarray(offs_h, jnp.int32)
+    f32_bytes = (total + chunk) * d * 4
+    X_lo = xnorm2 = cells_dev = None
+    if f32_bytes > split_bytes:
+        import ml_dtypes
+
+        bf16 = ml_dtypes.bfloat16
+        cells_h = _cells_of_layout(padded, chunk, nlist)
+        cent_h = np.asarray(centroids, np.float32)
+        xn_h = np.einsum("ij,ij->i", Xs_h, Xs_h).astype(np.float32)
+        Xs_h -= cent_h[cells_h]
+        hi_h = Xs_h.astype(bf16)
+        lo_h = (Xs_h - hi_h.astype(np.float32)).astype(bf16)
+        X_sorted = _push_segmented(hi_h)
+        X_lo = _push_segmented(lo_h)
+        xnorm2 = jnp.asarray(xn_h)
+        cells_dev = jnp.asarray(cells_h)
+        X_lo.block_until_ready()
+    else:
+        X_sorted = _push_segmented(Xs_h)
+    ids_sorted = jnp.asarray(ids_h)
+    X_sorted.block_until_ready()
+    return IVFIndex(
+        centroids, X_sorted, ids_sorted, offsets, counts, chunk, n,
+        X_lo, xnorm2, cells_dev, supers, members,
     )

@@ -70,6 +70,11 @@ def kmeans_fit(
     and much cheaper when n_clusters is in the thousands (++ is a
     sequential n_clusters-step loop).
     """
+    if X.shape[0] < n_clusters:
+        raise ValueError(
+            f"[TorchDR-TPU] ERROR : kmeans_fit needs n >= n_clusters "
+            f"({X.shape[0]} < {n_clusters})."
+        )
     x_norm = jnp.sum(X * X, axis=-1)
     if init == "random":
         n = X.shape[0]

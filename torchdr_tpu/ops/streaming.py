@@ -1,11 +1,22 @@
 """Streaming (batch-fed) kNN graph construction.
 
 Replacement for the reference's DataLoader-fed Faiss index build
-(reference: torchdr/distance/faiss.py:477-867): the database is assembled
-on device from an iterable of host batches (two passes over the loader:
-build, then search batch-by-batch), so host RAM never needs to hold the
-full dataset at once. Self-matches are removed with the k+1/strip trick
-(reference: torchdr/distance/base.py:186-206).
+(reference: torchdr/distance/faiss.py:477-867), in three tiers:
+
+- :func:`knn_graph_from_batches` — exact Flat tier; the database is
+  assembled on device (fits-HBM datasets).
+- :func:`~torchdr_tpu.ops.ivf.ivf_build_from_batches` — incremental IVF
+  build: batches are written straight into the sorted layout, the
+  unsorted dataset is never materialized (the reference's 2-pass
+  train+add, faiss.py:594-738).
+- :func:`knn_graph_streaming` — **beyond-HBM**: the database is split
+  into segments, each segment gets its own device-resident IVF index and
+  is queried by ALL rows (streamed in chunks), with a running top-k merge
+  on host. Device memory is one segment index + one query chunk, so the
+  dataset may exceed device HBM by the number of segments.
+
+Self-matches are removed with the k+1/strip trick (reference:
+torchdr/distance/base.py:186-206) or IVF id-exclusion.
 """
 
 from __future__ import annotations
@@ -86,3 +97,116 @@ def knn_graph_from_batches(
         idx_out.append(idx)
         offset += Qb.shape[0]
     return jnp.concatenate(dists_out, axis=0), jnp.concatenate(idx_out, axis=0)
+
+
+def _host_batches(batches) -> list:
+    out = []
+    for batch in batches:
+        if isinstance(batch, (list, tuple)):
+            batch = batch[0]
+        if hasattr(batch, "detach"):
+            batch = batch.detach().cpu().numpy()
+        out.append(np.ascontiguousarray(batch, np.float32))
+    if not out:
+        raise ValueError("[TorchDR-TPU] ERROR : empty batch iterable.")
+    return out
+
+
+def knn_graph_streaming(
+    batches: Iterable,
+    k: int = 15,
+    nprobe: int = 12,
+    n_clusters: int | None = None,
+    seg_bytes: int | None = None,
+    query_chunk: int = 1 << 20,
+    exclude_self: bool = True,
+    key=None,
+    verbose: bool = False,
+    **ivf_kwargs,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Approximate kNN graph for datasets beyond device HBM.
+
+    The database is split into row segments of at most ``seg_bytes``
+    (default: sized so one segment index + query workspace fit the
+    device). Each segment is IVF-indexed (incremental host-side build,
+    :func:`~torchdr_tpu.ops.ivf.ivf_build_from_batches`) and queried by
+    EVERY row, streamed in ``query_chunk`` blocks; per-segment results
+    are merged into a running host top-k. Recall per query equals the
+    single-index IVF tier's (each true neighbor lives in exactly one
+    segment and is found iff its cell is probed there).
+
+    Returns host ``(dists, indices)`` of shape ``(n, k)``.
+    """
+    from .ivf import auto_nlist, ivf_build_from_batches, ivf_knn_queries
+
+    batch_list = _host_batches(batches)
+    n = sum(b.shape[0] for b in batch_list)
+    d = batch_list[0].shape[1]
+    if seg_bytes is None:
+        from .ivf import _permute_hbm_budget
+
+        # index planes ≈ 1× segment bytes (+norms); leave room for the
+        # query chunks, scan buffers, and XLA workspace
+        seg_bytes = max(1 << 28, int(_permute_hbm_budget() * 0.45))
+
+    # group whole batches into segments (a batch never straddles segments;
+    # callers control granularity via their batch size)
+    segments: list = []
+    cur: list = []
+    cur_bytes = 0
+    for b in batch_list:
+        b_bytes = b.shape[0] * d * 4
+        if cur and cur_bytes + b_bytes > seg_bytes:
+            segments.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(b)
+        cur_bytes += b_bytes
+    segments.append(cur)
+
+    out_d = np.full((n, k), np.inf, np.float32)
+    out_i = np.full((n, k), -1, np.int64)
+    seg_start = 0
+    for si, seg in enumerate(segments):
+        n_s = sum(b.shape[0] for b in seg)
+        nlist_s = n_clusters or auto_nlist(n_s)
+        index = ivf_build_from_batches(
+            seg, n_clusters=nlist_s, key=key, **ivf_kwargs
+        )
+        if verbose:
+            print(
+                f"[knn_graph_streaming] segment {si + 1}/{len(segments)}: "
+                f"{n_s} rows, nlist={nlist_s}",
+                flush=True,
+            )
+        q0 = 0
+        for qb in batch_list:
+            for a in range(0, qb.shape[0], query_chunk):
+                Qc = qb[a : a + query_chunk]
+                gids = q0 + a + np.arange(Qc.shape[0])
+                if exclude_self:
+                    local = gids - seg_start
+                    local = np.where(
+                        (local >= 0) & (local < n_s), local, n_s
+                    ).astype(np.int32)
+                else:
+                    local = None
+                d_q, i_q = ivf_knn_queries(
+                    jnp.asarray(Qc), index, k=k, nprobe=nprobe,
+                    query_ids=local,
+                )
+                d_qh = np.asarray(d_q)
+                i_qh = np.asarray(i_q, np.int64) + seg_start
+                # host top-k merge with the running best
+                rows = slice(int(gids[0]), int(gids[-1]) + 1)
+                cd = np.concatenate([out_d[rows], d_qh], axis=1)
+                ci = np.concatenate([out_i[rows], i_qh], axis=1)
+                sel = np.argpartition(cd, k - 1, axis=1)[:, :k]
+                cd = np.take_along_axis(cd, sel, axis=1)
+                ci = np.take_along_axis(ci, sel, axis=1)
+                order = np.argsort(cd, axis=1)
+                out_d[rows] = np.take_along_axis(cd, order, axis=1)
+                out_i[rows] = np.take_along_axis(ci, order, axis=1)
+            q0 += qb.shape[0]
+        seg_start += n_s
+        del index  # free the segment's device buffers before the next one
+    return out_d, out_i
