@@ -39,6 +39,7 @@ class Affinity(BaseEstimator, ABC):
         random_state: Optional[int] = None,
         knn_mode: str = "exact",
         knn_precision: str = "highest",
+        mesh=None,
         **kwargs,
     ):
         self.metric = metric
@@ -46,26 +47,39 @@ class Affinity(BaseEstimator, ABC):
         self.device = device if device is not None else "auto"
         self.verbose = bool(verbose)
         self.random_state = random_state
+        # Device mesh for the build phase: when set (directly or injected by
+        # the estimator via _set_fit_mesh), the kNN graph is computed with
+        # row-sharded queries over the mesh — the analog of the reference's
+        # per-rank chunked build (torchdr/affinity/base.py:310-391).
+        self.mesh = mesh
         # kNN tier (ops/distance.knn_graph): mode 'exact'|'approx',
         # precision 'highest'|'high'|'default' — the performance levers of
-        # the graph-construction phase. A KnnConfig bundles them.
+        # the graph-construction phase. A KnnConfig bundles them (and the
+        # IVF-tier knobs: nprobe, n_clusters, budget, merge, ivf_block).
         from ..ops.knn_config import KnnConfig
 
         if isinstance(knn_mode, KnnConfig):
             cfg = knn_mode
-            knn_mode, knn_precision = cfg.mode, cfg.precision
-            self.knn_recall_target = cfg.recall_target
-            self.knn_block_size = cfg.block_size
-            self.knn_nprobe = cfg.nprobe
-            self.knn_n_clusters = cfg.n_clusters
         else:
-            self.knn_recall_target = 0.95
-            self.knn_block_size = 1024
-            self.knn_nprobe = 16
-            self.knn_n_clusters = None
-        self.knn_mode = knn_mode
-        self.knn_precision = knn_precision
+            cfg = KnnConfig(mode=knn_mode, precision=knn_precision)
+        self._knn_cfg = cfg
+        self.knn_mode = cfg.mode
+        self.knn_precision = cfg.precision
+        self.knn_recall_target = cfg.recall_target
+        self.knn_block_size = cfg.block_size
+        self.knn_nprobe = cfg.nprobe
+        self.knn_n_clusters = cfg.n_clusters
         self.logger = get_logger(type(self).__name__, self.verbose)
+
+    # --- mesh plumbing (estimators inject their fit mesh here) ---
+
+    def _set_fit_mesh(self, mesh) -> None:
+        """Called by estimators so the build phase shards over their mesh."""
+        self._fit_mesh = mesh
+
+    def _active_mesh(self):
+        m = getattr(self, "_fit_mesh", None)
+        return m if m is not None else self.mesh
 
     def __call__(self, X, **kwargs):
         X, _ = to_jax(X)
@@ -94,22 +108,47 @@ class Affinity(BaseEstimator, ABC):
             # affinities by ~90% relative). Centering restores conditioning
             # exactly; the reference inherits the flaw (torch cdist-form).
             X = X - jnp.mean(X, axis=0, keepdims=True)
+        mesh = self._active_mesh()
         if k is not None:
             if self.knn_mode == "ivf":
-                from ..ops.ivf import ivf_knn
-
                 if self.metric not in ("sqeuclidean", "euclidean"):
                     raise ValueError(
                         "[TorchDR-TPU] ERROR : IVF tier supports "
                         "(sq)euclidean only."
                     )
-                C, indices = ivf_knn(
-                    X, k=k, nprobe=self.knn_nprobe,
-                    n_clusters=self.knn_n_clusters,
-                    exclude_self=self.zero_diag,
+                cfg = self._knn_cfg
+                ivf_kwargs = dict(
+                    k=k, nprobe=cfg.nprobe, n_clusters=cfg.n_clusters,
+                    exclude_self=self.zero_diag, budget=cfg.budget,
+                    merge=cfg.merge,
                 )
+                if cfg.ivf_block is not None:
+                    ivf_kwargs["block"] = int(cfg.ivf_block)
+                if mesh is not None:
+                    from ..parallel.ivf import ivf_knn_sharded
+
+                    C, indices = ivf_knn_sharded(X, mesh=mesh, **ivf_kwargs)
+                else:
+                    from ..ops.ivf import ivf_knn
+
+                    C, indices = ivf_knn(X, **ivf_kwargs)
                 if self.metric == "euclidean":
                     C = jnp.sqrt(jnp.maximum(C, 0.0))
+                return (C, indices) if return_indices else C
+            if mesh is not None:
+                from ..parallel.knn import knn_graph_sharded
+
+                C, indices = knn_graph_sharded(
+                    X,
+                    k=k,
+                    mesh=mesh,
+                    metric=self.metric,
+                    exclude_diag=self.zero_diag,
+                    block_size=self.knn_block_size,
+                    mode=self.knn_mode,
+                    precision=self.knn_precision,
+                    recall_target=self.knn_recall_target,
+                )
                 return (C, indices) if return_indices else C
             C, indices = knn_graph(
                 X,

@@ -192,9 +192,21 @@ class UMAPAffinity(SparseAffinity):
                 k_out = None
                 if self.max_degree is not None:
                     k_out = max(8, -(-int(self.max_degree) // 8) * 8)
-                P, indices = symmetrize_sparse(
-                    P, indices, mode="sum_minus_prod", k_out=k_out
-                )
+                mesh = self._active_mesh()
+                if mesh is not None:
+                    # explicit all_to_all edge exchange: each chip merges the
+                    # transposed edges for the rows it owns (the analog of
+                    # the reference's distributed_symmetrize_sparse,
+                    # torchdr/utils/sparse.py:209-343)
+                    from ..parallel.sparse import distributed_symmetrize_sparse
+
+                    P, indices = distributed_symmetrize_sparse(
+                        P, indices, mesh, mode="sum_minus_prod", k_out=k_out
+                    )
+                else:
+                    P, indices = symmetrize_sparse(
+                        P, indices, mode="sum_minus_prod", k_out=k_out
+                    )
             else:
                 P = P + P.T - P * P.T
 

@@ -200,6 +200,16 @@ class AffinityMatcher(DRModule):
     def _fit_transform(self, X: jnp.ndarray, y: Optional[Any] = None) -> jnp.ndarray:
         self.n_samples_in_, self.n_features_in_ = X.shape
 
+        # Resolve the mesh BEFORE the affinity phase and inject it into the
+        # input affinity: the kNN build + symmetrization (phase A — the
+        # memory-dominant phase at large n) then run row-sharded over the
+        # mesh, like the reference's per-rank chunked build (torchdr/
+        # affinity/base.py:310-391), not just the training loop.
+        mesh = self._resolve_mesh()
+        self._fit_mesh_ = mesh
+        if isinstance(self.affinity_in, Affinity):
+            self.affinity_in._set_fit_mesh(mesh)
+
         self.on_affinity_computation_start()
         with log_phase(self.logger, "input affinity"):
             self._compute_input_affinity(X)
@@ -424,7 +434,11 @@ class AffinityMatcher(DRModule):
                 hyper["momentum"] = jnp.where(in_ee, mom_ee, mom_post)
             return coeff, lr_t, hyper, in_ee
 
-        mesh = self._resolve_mesh()
+        # The fit mesh was resolved before the affinity phase; fall back to
+        # resolving here when _optimize is driven standalone.
+        mesh = (
+            self._fit_mesh_ if hasattr(self, "_fit_mesh_") else self._resolve_mesh()
+        )
         # Expose the active mesh to loss/gradient hooks so mesh-aware ops
         # (e.g. the row-sharded O(n²) repulsion) can shard their work.
         self._fit_mesh_ = mesh

@@ -38,12 +38,22 @@ class KnnConfig:
     # IVF tier (mode="ivf"): coarse-quantization probe search (ops/ivf.py)
     nprobe: int = 16
     n_clusters: Optional[int] = None  # None → Faiss-style auto_nlist
+    #: IVF scan budget in chunk slots (None → sized from nprobe + cell stats)
+    budget: Optional[int] = None
+    #: IVF merge stage: None → index-aware auto; "approx" | "exact" | "tournament"
+    merge: Optional[str] = None
+    #: IVF query-block rows (None → the tuned default, 256). ``block_size``
+    #: governs the exact/approx tiers only — the IVF probe kernel's block is
+    #: a separate MXU-shape knob.
+    ivf_block: Optional[int] = None
 
     def __post_init__(self):
         if self.mode not in ("exact", "approx", "ivf"):
             raise ValueError(f"[TorchDR-TPU] unknown knn mode {self.mode!r}")
         if self.precision not in ("highest", "high", "default"):
             raise ValueError(f"[TorchDR-TPU] unknown knn precision {self.precision!r}")
+        if self.merge not in (None, "approx", "exact", "tournament"):
+            raise ValueError(f"[TorchDR-TPU] unknown ivf merge {self.merge!r}")
 
     def kwargs(self) -> dict:
         return dict(

@@ -41,8 +41,15 @@ def knn_graph_sharded(
     metric: str = "sqeuclidean",
     exclude_diag: bool = True,
     block_size: int = 1024,
+    mode: str = "exact",
+    precision: str = "highest",
+    recall_target: float = 0.95,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact kNN with row-sharded queries and a replicated database."""
+    """kNN with row-sharded queries and a replicated database.
+
+    ``mode``/``precision``/``recall_target`` mirror ops/distance.knn_graph:
+    "exact" = per-chip lax.top_k, "approx" = the PartialReduce tier.
+    """
     check_metric(metric)
     axis = mesh.axis_names[0]
     world = mesh.devices.size
@@ -60,11 +67,14 @@ def knn_graph_sharded(
 
         def process(b):
             Xb = lax.dynamic_slice_in_dim(Xq_pad, b * block, block, axis=0)
-            C = pairwise_block(Xb, X_full, metric)
+            C = pairwise_block(Xb, X_full, metric, precision)
             brows = offset + b * block + jnp.arange(block)
             cols = jnp.arange(X_full.shape[0])
             if exclude_diag:
                 C = C + MASK_VALUE * (brows[:, None] == cols[None, :]).astype(C.dtype)
+            if mode == "approx":
+                d, idx = lax.approx_min_k(C, k, recall_target=recall_target)
+                return d, idx
             neg_topk, idx = lax.top_k(-C, k)
             return -neg_topk, idx
 
