@@ -70,6 +70,66 @@ class TestKernelPCA:
         Z2 = np.abs(np.asarray(tdr.KernelPCA(n_components=2, solver="lobpcg", random_state=0).fit_transform(X)))
         assert np.abs(Z1 - Z2).max() < 1e-2
 
+    def test_matfree_lobpcg_eigenpairs_match_dense(self):
+        """Matrix-free streamed operator vs dense eigh at n=2k (≤1e-4)."""
+        rng = np.random.default_rng(2)
+        centers = rng.normal(scale=4.0, size=(5, 6))
+        X = np.concatenate(
+            [c + rng.normal(size=(400, 6)) for c in centers]
+        ).astype(np.float32)  # n=2000: several streamed blocks
+        from torchdr_tpu.affinity import NormalizedGaussianAffinity
+
+        kw = dict(
+            affinity=NormalizedGaussianAffinity(
+                sigma=4.0, normalization_dim=None, zero_diag=False
+            ),
+            n_components=3,
+        )
+        m1 = tdr.KernelPCA(solver="eigh", **kw)
+        Z1 = m1.fit_transform(X)
+        kw["affinity"] = NormalizedGaussianAffinity(
+            sigma=4.0, normalization_dim=None, zero_diag=False
+        )
+        m2 = tdr.KernelPCA(solver="lobpcg", random_state=0, **kw)
+        Z2 = m2.fit_transform(X)
+        ev1 = np.asarray(m1.eigenvalues_[:3])
+        ev2 = np.asarray(m2.eigenvalues_[:3])
+        assert np.abs(ev1 - ev2).max() < 1e-4 * max(1.0, ev1.max())
+        assert np.abs(np.abs(np.asarray(Z1)) - np.abs(np.asarray(Z2))).max() < 1e-2
+
+    def test_matfree_global_normalization_scales_eigvals(self):
+        rng = np.random.default_rng(3)
+        X = rng.normal(size=(300, 5)).astype(np.float32)
+        from torchdr_tpu.affinity import NormalizedGaussianAffinity
+
+        m1 = tdr.KernelPCA(
+            affinity=NormalizedGaussianAffinity(sigma=3.0, normalization_dim=(0, 1)),
+            n_components=2, solver="eigh",
+        )
+        Z1 = m1.fit_transform(X)
+        m2 = tdr.KernelPCA(
+            affinity=NormalizedGaussianAffinity(sigma=3.0, normalization_dim=(0, 1)),
+            n_components=2, solver="lobpcg", random_state=0,
+        )
+        Z2 = m2.fit_transform(X)
+        assert np.abs(
+            np.asarray(m1.eigenvalues_[:2]) - np.asarray(m2.eigenvalues_[:2])
+        ).max() < 1e-6 + 1e-3 * float(m1.eigenvalues_[0])
+        assert np.abs(np.abs(np.asarray(Z1)) - np.abs(np.asarray(Z2))).max() < 1e-2
+
+    def test_lobpcg_dense_fallback_unsupported_affinity(self):
+        """Affinities without a matrix-free form still work via dense LOBPCG."""
+        rng = np.random.default_rng(4)
+        X = rng.normal(size=(150, 5)).astype(np.float32)
+        from torchdr_tpu.affinity import SelfTuningAffinity
+
+        m = tdr.KernelPCA(
+            affinity=SelfTuningAffinity(normalization_dim=None),
+            n_components=2, solver="lobpcg", random_state=0,
+        )
+        Z = m.fit_transform(X)
+        assert np.isfinite(np.asarray(Z)).all()
+
 
 class TestPHATE:
     def test_quality(self):

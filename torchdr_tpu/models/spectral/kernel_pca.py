@@ -2,19 +2,29 @@
 
 TPU-native KernelPCA (reference: torchdr/spectral_embedding/kernel_pca.py:
 23-120). Dense path: centered kernel + ``eigh``. Large-n path: LOBPCG
-(jax.experimental.sparse.linalg) over an implicitly centered kernel
-operator — the XLA-native replacement for the cuSOLVER full
-eigendecomposition at scale (SURVEY.md §2.2 north-star).
+(jax.experimental.sparse.linalg) over a **matrix-free** implicitly
+centered kernel operator — kernel row blocks are regenerated from X
+inside every matvec (flash-style streaming, O(block·n) live memory, no
+(n, n) buffer, no ``jnp.eye``), which is what lets KernelPCA run at n
+where the dense kernel cannot exist. This is the XLA-native replacement
+for the cuSOLVER full eigendecomposition at scale (SURVEY.md §2.2
+north-star); the reference's own LOBPCG-free path stays dense
+(reference: torchdr/spectral_embedding/kernel_pca.py:80-120).
 """
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, Callable, Optional
 
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ...affinity.base import Affinity
-from ...affinity.entropic import NormalizedGaussianAffinity
+from ...affinity.entropic import (
+    NormalizedGaussianAffinity,
+    NormalizedStudentAffinity,
+)
 from ...base import DRModule
 from ...ops.reductions import center_kernel, check_nonnegativity_eigenvalues, svd_flip
 
@@ -59,12 +69,20 @@ class KernelPCA(DRModule):
         self.solver = solver
 
     def _fit_transform(self, X: jnp.ndarray, y: Optional[Any] = None) -> jnp.ndarray:
-        K = self.affinity(X)
-        K = center_kernel(K)
-
         if self.solver == "lobpcg":
-            eigvals, eigvecs = self._lobpcg_top(K)
+            kern_fn = self._kernel_block_fn(X)
+            if kern_fn is not None:
+                # matrix-free: never materialize K (large-n path)
+                eigvals, eigvecs = self._lobpcg_matfree(X, kern_fn)
+            else:
+                # unsupported affinity: dense K, but still centered
+                # implicitly inside the matvec (no jnp.eye, no second
+                # centered copy)
+                K = self.affinity(X)
+                eigvals, eigvecs = self._lobpcg_dense(K)
         else:
+            K = self.affinity(X)
+            K = center_kernel(K)
             eigvals, eigvecs = jnp.linalg.eigh(K)
             eigvals = jnp.flip(eigvals, axis=0)
             eigvecs = jnp.flip(eigvecs, axis=1)
@@ -87,17 +105,126 @@ class KernelPCA(DRModule):
         )
         return self.embedding_
 
-    def _lobpcg_top(self, K: jnp.ndarray):
-        """Top-k eigenpairs by LOBPCG; K must be PSD-ish (centered kernel)."""
-        import jax
+    # --- LOBPCG tier ---
+
+    def _lobpcg_k(self, n: int) -> int:
+        return min(self.n_components + (0 if not self.nodiag else 2), n // 2 or 1)
+
+    def _kernel_block_fn(self, X) -> Optional[Callable]:
+        """Elementwise kernel-from-distances function for the streamed
+        operator, or None when the affinity has no matrix-free form.
+
+        Supported: NormalizedGaussianAffinity / NormalizedStudentAffinity
+        with ``normalization_dim`` None or (0, 1) — global normalization is
+        a scalar factor (one extra streaming pass), so eigenvectors are
+        unchanged and eigenvalues scale by 1/Z. Row/col normalization
+        breaks symmetry and stays on the dense path.
+        """
+        aff = self.affinity
+        if type(aff) is NormalizedStudentAffinity:
+            nu = float(aff.degrees_of_freedom)
+
+            def kern(C):
+                return jnp.exp(-0.5 * (nu + 1.0) * jnp.log1p(C / nu))
+
+        elif type(aff) is NormalizedGaussianAffinity:
+            sigma = float(aff.sigma)
+
+            def kern(C):
+                return jnp.exp(-C / sigma)
+
+        else:
+            return None
+        if aff.normalization_dim not in (None, (0, 1)):
+            return None
+        if aff.metric not in ("sqeuclidean", "euclidean"):
+            return None
+        return kern
+
+    def _lobpcg_matfree(self, X: jnp.ndarray, kern_fn, block: int = 512):
+        """Top-k eigenpairs of the centered kernel without forming it.
+
+        The operator V ↦ H K H V streams kernel row blocks recomputed from
+        X (pairwise distances → elementwise kernel → one MXU matmul per
+        block); centering H = I − 11ᵀ/n is applied implicitly by mean
+        subtraction on both sides. Live memory is O(block · n).
+        """
+        from jax.experimental.sparse.linalg import lobpcg_standard
+
+        from ...ops.metrics import pairwise_block
+
+        aff = self.affinity
+        n = X.shape[0]
+        X = jnp.asarray(X, jnp.float32)
+        if aff.metric in ("sqeuclidean", "euclidean"):
+            # same conditioning trick as Affinity._distance_matrix
+            X = X - jnp.mean(X, axis=0, keepdims=True)
+        n_pad = -(-n // block) * block
+        Xp = jnp.zeros((n_pad, X.shape[1]), X.dtype).at[:n].set(X)
+        zero_diag = bool(aff.zero_diag)
+        metric = "sqeuclidean" if aff.metric == "euclidean" else aff.metric
+        sqrt_metric = aff.metric == "euclidean"
+        cols = jnp.arange(n)
+        _SHIFT = 1e-3  # PD shift: centered PSD kernel has eigvals ≥ 0
+
+        def block_rows(b):
+            Xb = lax.dynamic_slice_in_dim(Xp, b * block, block, axis=0)
+            C = pairwise_block(Xb, X, metric)
+            if sqrt_metric:
+                C = jnp.sqrt(jnp.maximum(C, 0.0))
+            Kb = kern_fn(C)
+            if zero_diag:
+                rows = b * block + jnp.arange(block)
+                Kb = jnp.where(rows[:, None] == cols[None, :], 0.0, Kb)
+            return Kb
+
+        @jax.jit
+        def matvec(W):  # (n, k) → H K H W  (+ diagonal shift)
+            Wc = W - jnp.mean(W, axis=0, keepdims=True)
+
+            def body(b):
+                return jnp.matmul(
+                    block_rows(b), Wc, preferred_element_type=jnp.float32
+                )
+
+            U = lax.map(body, jnp.arange(n_pad // block)).reshape(-1, W.shape[1])[:n]
+            U = U - jnp.mean(U, axis=0, keepdims=True)
+            return U + _SHIFT * W
+
+        @jax.jit
+        def row_sums():
+            def body(b):
+                return jnp.sum(block_rows(b), axis=1)
+
+            return lax.map(body, jnp.arange(n_pad // block)).reshape(-1)[:n]
+
+        # scalar normalization factor (global (0,1) logsumexp of log K):
+        # a uniform 1/Z on the kernel ⇒ eigvecs unchanged, eigvals / Z
+        Z = 1.0
+        if aff.normalization_dim == (0, 1):
+            Z = float(jnp.sum(row_sums()))
+
+        k = self._lobpcg_k(n)
+        X0 = jax.random.normal(self._root_key(), (n, k), jnp.float32)
+        theta, U, _ = lobpcg_standard(matvec, X0, m=200)
+        order = jnp.argsort(-theta)
+        return (theta[order] - _SHIFT) / Z, U[:, order]
+
+    def _lobpcg_dense(self, K: jnp.ndarray):
+        """LOBPCG over a dense (already materialized) kernel; centering and
+        the PD shift are applied inside the matvec — no K-sized copies."""
         from jax.experimental.sparse.linalg import lobpcg_standard
 
         n = K.shape[0]
-        k = min(self.n_components + (0 if not self.nodiag else 2), n // 2 or 1)
-        X0 = jax.random.normal(self._root_key(), (n, k), K.dtype)
-        # Shift to ensure positive-definiteness for LOBPCG on the centered
-        # kernel (eigenvalues >= 0 up to round-off).
         shift = 1e-6 * jnp.trace(K) / n
-        theta, U, _ = lobpcg_standard(K + shift * jnp.eye(n, dtype=K.dtype), X0, m=200)
+
+        def matvec(W):
+            Wc = W - jnp.mean(W, axis=0, keepdims=True)
+            U = K @ Wc
+            return U - jnp.mean(U, axis=0, keepdims=True) + shift * W
+
+        k = self._lobpcg_k(n)
+        X0 = jax.random.normal(self._root_key(), (n, k), K.dtype)
+        theta, U, _ = lobpcg_standard(jax.jit(matvec), X0, m=200)
         order = jnp.argsort(-theta)
         return theta[order] - shift, U[:, order]
