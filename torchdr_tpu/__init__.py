@@ -35,6 +35,7 @@ from .eval import (
     knn_label_accuracy,
     knn_recall,
     neighborhood_preservation,
+    neighborhood_preservation_sampled,
     silhouette_samples,
     silhouette_score,
 )
@@ -83,7 +84,8 @@ __all__ = [
     "AffinityMatcher", "DRModule", "NeighborEmbedding", "NegativeSamplingNeighborEmbedding",
     "binary_search", "false_position",
     "silhouette_samples", "silhouette_score", "knn_label_accuracy",
-    "knn_recall", "neighborhood_preservation", "kmeans_ari", "adjusted_rand_index",
+    "knn_recall", "neighborhood_preservation", "neighborhood_preservation_sampled",
+    "kmeans_ari", "adjusted_rand_index",
     "PCA", "SNE", "TSNE", "UMAP", "LargeVis", "InfoTSNE", "TSNEkhorn", "PACMAP", "COSNE", "KernelPCA", "PHATE", "IncrementalPCA", "ExactIncrementalPCA",
     "DoublyStochasticQuadraticAffinity",
     "MAGICAffinity", "PACMAPAffinity", "PHATEAffinity", "SelfTuningAffinity", "UMAPAffinity",

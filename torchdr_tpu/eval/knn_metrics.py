@@ -70,6 +70,45 @@ def neighborhood_preservation(
     return per_sample if return_per_sample else float(jnp.mean(per_sample))
 
 
+def neighborhood_preservation_sampled(
+    X,
+    Z,
+    K: int,
+    n_queries: int = 2048,
+    seed: int = 0,
+    metric: str = "euclidean",
+):
+    """K-ary neighborhood preservation on a query subsample vs the FULL data.
+
+    The large-n variant: exact cross kNN of ``n_queries`` sampled rows
+    against all n rows in both spaces (two matmuls of (q, n) — tractable
+    at millions of rows where the full (n, n) graph is not), then the
+    per-query overlap. The reference evaluates distributed per-chunk the
+    same way (reference: torchdr/eval/neighborhood_preservation.py:51-62).
+    """
+    import numpy as np
+
+    X, _ = to_jax(X)
+    Z, _ = to_jax(Z)
+    n = X.shape[0]
+    q = min(n_queries, n)
+    rng = np.random.default_rng(seed)
+    sel = np.sort(rng.choice(n, q, replace=False))
+    sel_j = jnp.asarray(sel)
+
+    def sampled_knn(A):
+        _, idx = knn_graph(A[sel_j], A, k=K + 1, metric=metric, exclude_diag=False)
+        # strip self matches, keep K columns
+        is_self = idx == sel_j[:, None]
+        order = jnp.argsort(jnp.where(is_self, 1, 0), axis=1, stable=True)
+        return jnp.take_along_axis(idx, order, axis=1)[:, :K]
+
+    idx_X = sampled_knn(X)
+    idx_Z = sampled_knn(Z)
+    member = jnp.any(idx_Z[:, :, None] == idx_X[:, None, :], axis=2)
+    return float(jnp.mean(jnp.sum(member, axis=1).astype(jnp.float32) / K))
+
+
 def knn_recall(indices_pred, indices_true, return_per_sample: bool = False):
     """Recall@k of a predicted kNN index set vs ground truth (bench helper)."""
     indices_pred = jnp.asarray(indices_pred)

@@ -104,6 +104,24 @@ class COSNE(NeighborEmbedding):
             return 1.0, 1.0
         return float(self.lr), float(self.lr)
 
+    def _init_embedding(self, X):
+        # init="pca": project the PCA layout into the Poincaré ball through
+        # the origin exponential map (tangent-space coordinates scaled to
+        # std init_scaling). A cluster-shaped start matters much more in
+        # hyperbolic space than in R²: volume grows exponentially with
+        # radius, so a random init separates mass across branches that
+        # gradient flow cannot merge back (measured: silhouette ≈ 0 at 50k
+        # from random init vs > 0.3 from PCA init, round-3 sweep).
+        if isinstance(self.init, str) and self.init == "pca":
+            from ...models.spectral.pca import PCA
+            from ...utils.manifold import poincare_expmap0
+
+            emb = PCA(n_components=self.n_components)._fit_transform(X)
+            std0 = jnp.std(emb[:, 0])
+            emb = self.init_scaling * emb / jnp.where(std0 > 0, std0, 1.0)
+            return poincare_expmap0(emb)
+        return super()._init_embedding(X)
+
     def _build_consts(self, X):
         consts = super()._build_consts(X)
         # input-norm preservation targets (reference: cosne.py:163-165)

@@ -192,7 +192,8 @@ def ivf_build(
     if n_superlist is None:
         n_superlist = max(32, nlist // 64) if nlist >= 1024 else 0
     if n_superlist and n_superlist < nlist:
-        supers, members = _build_supers(centroids, int(n_superlist), key)
+        perm_s, supers, members = _build_supers(centroids, int(n_superlist), key)
+        centroids = centroids[perm_s]  # relabel: supers = contiguous id ranges
         _mark("supers")
     else:
         supers = members = None
@@ -449,22 +450,65 @@ def _residual_split_device(x, cells, centroids, seg_bytes: int = 512 << 20):
 
 
 def _build_supers(centroids, S: int, key):
-    """k-means the cell centroids into S super-centroids + padded member
-    lists ((S, W) int32, −1 padding). Unweighted k-means is adequate: the
-    supers only gate nomination, cell geometry itself is unchanged."""
-    sup, labels, _ = kmeans_fit(
+    """Two-level quantizer with EQUAL-SIZE supers via cell relabeling.
+
+    Returns ``(perm, super_centroids, super_members)`` where ``perm``
+    reorders the cell centroids geographically (k-means super label, then
+    distance-to-super within each label) and the supers are consecutive
+    equal-size groups of the REORDERED cells. The caller must apply
+    ``centroids = centroids[perm]`` — cell ids then run contiguously
+    within each super, so member lists are balanced by construction
+    (plain k-means membership measured max/mean = 8.5× at nlist=16384,
+    inflating the member-union matmul past the flat path's cost) and the
+    member-centroid gathers are contiguous. A group straddling two
+    k-means supers gets a smeared centroid; those are a ≤ S/nlist
+    minority and the per-query multi-super vote absorbs them.
+    """
+    sup_c, labels, _ = kmeans_fit(
         centroids, S, jax.random.fold_in(key, 7), max_iter=25,
         init="random" if S >= 2048 else "++",
     )
-    labels_h = np.asarray(labels)
-    counts_h = np.bincount(labels_h, minlength=S)
-    W = max(8, int(-(-int(counts_h.max()) // 8) * 8))
-    members = np.full((S, W), -1, np.int32)
-    order = np.argsort(labels_h, kind="stable")
-    starts = np.concatenate([[0], np.cumsum(counts_h)[:-1]])
+    cent_h = np.asarray(centroids, np.float32)
+    sup_h = np.asarray(sup_c, np.float32)
+    nlist, d = cent_h.shape
+    # Capacity-constrained assignment: keep k-means geometry (truncating
+    # to equal-size groups smeared group centroids and cost ~4% recall at
+    # test geometry) but cap membership at 1.25× the mean so the member
+    # union stays narrow. Most-constrained cells (largest best-vs-second
+    # gap) pick first; each takes its nearest super with a free slot.
+    cap = -(-int(np.ceil(nlist / S * 1.25)) // 4) * 4
+    Dm = (
+        (cent_h * cent_h).sum(1)[:, None]
+        + (sup_h * sup_h).sum(1)[None, :]
+        - 2.0 * cent_h @ sup_h.T
+    )
+    pref = np.argsort(Dm, axis=1)
+    gap = Dm[np.arange(nlist), pref[:, 1]] - Dm[np.arange(nlist), pref[:, 0]]
+    counts = np.zeros((S,), np.int64)
+    assigned = np.empty((nlist,), np.int64)
+    for c in np.argsort(-gap):
+        for s in pref[c]:
+            if counts[s] < cap:
+                assigned[c] = s
+                counts[s] += 1
+                break
+    # relabel cells contiguously by (super, distance-to-super): member
+    # lists become dense id ranges and the cell id space is geographic
+    d_own = Dm[np.arange(nlist), assigned]
+    perm = np.lexsort((d_own, assigned))
+    a_sorted = assigned[perm]
+    members = np.full((S, cap), -1, np.int32)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    new_ids = np.arange(nlist, dtype=np.int32)
     for s in range(S):
-        members[s, : counts_h[s]] = order[starts[s] : starts[s] + counts_h[s]]
-    return sup, jnp.asarray(members)
+        members[s, : counts[s]] = new_ids[starts[s] : starts[s] + counts[s]]
+    # super centroid = mean of actual members (post-capacity)
+    cent_sorted = cent_h[perm]
+    sums = np.add.reduceat(
+        cent_sorted, np.minimum(starts, nlist - 1), axis=0
+    ) * (counts > 0)[:, None]
+    sup_means = (sums / np.maximum(counts, 1)[:, None]).astype(np.float32)
+    return jnp.asarray(perm), jnp.asarray(sup_means), jnp.asarray(members)
 
 
 def _cells_of_layout(padded_h, chunk, nlist):
@@ -1248,7 +1292,8 @@ def ivf_build_from_batches(
     if n_superlist is None:
         n_superlist = max(32, nlist // 64) if nlist >= 1024 else 0
     if n_superlist and n_superlist < nlist:
-        supers, members = _build_supers(centroids, int(n_superlist), key)
+        perm_s, supers, members = _build_supers(centroids, int(n_superlist), key)
+        centroids = centroids[perm_s]  # relabel: supers = contiguous id ranges
     else:
         supers = members = None
 
