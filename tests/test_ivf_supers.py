@@ -81,3 +81,39 @@ class TestSupers:
         # no duplicate neighbors within a row
         for q in range(0, 8000, 97):
             assert len(set(i_np[q])) == 10
+
+
+class TestAdjacencyNomination:
+    """Cell-adjacency nomination: candidates = the home cells' precomputed
+    nearest-cell lists — geometrically exact, ~P wide (the default large-
+    nlist nomination after supers measured a 9% recall loss at 10M)."""
+
+    @pytest.fixture(scope="class")
+    def adj_index(self, clustered):
+        X, _ = clustered
+        return ivf_build(X, n_clusters=320)  # ≥ 256 → adjacency built
+
+    def test_adjacency_table_built(self, adj_index):
+        adj = adj_index.cell_adj
+        assert adj is not None and adj.shape == (320, 64)
+        # self cell first in every row (distance 0)
+        assert (np.asarray(adj)[:, 0] == np.arange(320)).all()
+        assert adj_index.cells_sorted is not None  # home-cell lookup table
+
+    def test_adjacency_matches_flat_self_queries(self, clustered, adj_index):
+        X, i0 = clustered
+        _, i_a = ivf_knn(None, k=10, nprobe=8, index=adj_index,
+                         nomination="adjacency")
+        _, i_f = ivf_knn(None, k=10, nprobe=8, index=adj_index,
+                         nomination="flat")
+        r_a = recall(i0, np.asarray(i_a))
+        r_f = recall(i0, np.asarray(i_f))
+        assert abs(r_a - r_f) < 0.005
+
+    def test_adjacency_residual_index(self, clustered):
+        X, i0 = clustered
+        idx = ivf_build(X, n_clusters=320, split_bytes=1)
+        _, i_a = ivf_knn(None, k=10, nprobe=8, index=idx,
+                         nomination="adjacency")
+        _, i_f = ivf_knn(None, k=10, nprobe=8, index=idx, nomination="flat")
+        assert abs(recall(i0, np.asarray(i_a)) - recall(i0, np.asarray(i_f))) < 0.005

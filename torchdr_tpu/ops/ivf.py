@@ -85,6 +85,13 @@ class IVFIndex(NamedTuple):
     # search) shrinks to S + n_supers·W wide.
     super_members: jnp.ndarray | None = None  # (S, W) int32 member cell ids
     # per super, −1 padding; W = padded max membership
+    cell_adj: jnp.ndarray | None = None  # (ncells, P) int32 — each cell's P
+    # nearest cells (self first). Self-kNN nomination reduces to the
+    # adjacency rows of a block's home cells (known for free from the
+    # sorted layout): candidate sets are ~100 wide and geometrically
+    # exact, vs the (block, nlist) matmul + nlist-wide selection of flat
+    # nomination (the measured fixed-cost floor at nlist ≥ 8k), or super
+    # means that smear 40 natural clusters at 10M and cost ~9% recall.
 
 
 def auto_nlist(n: int) -> int:
@@ -197,6 +204,9 @@ def ivf_build(
         _mark("supers")
     else:
         supers = members = None
+    cell_adj = _build_cell_adjacency(centroids)
+    if cell_adj is not None:
+        _mark("cell adjacency")
 
     # Device-resident big build: when the dataset + a second permute buffer
     # fit HBM, push ONCE (segmented) and keep everything on device — the
@@ -234,7 +244,10 @@ def ivf_build(
         within = np.arange(n) - raw_offs[lab_sorted]
         dest_h = offs_h[lab_sorted] + within
         f32_bytes = (total + chunk) * d * 4
-        X_lo = xnorm2 = cells_dev = None
+        X_lo = xnorm2 = None
+        # per-row cell table: the residual scan needs it, and adjacency
+        # nomination locates a block's home cells through it (4 bytes/row)
+        cells_dev = jnp.asarray(_cells_of_layout(padded, chunk, nlist))
         if not is_host and f32_bytes <= (1 << 30):
             # small device path: one whole-array scatter
             dest = jnp.asarray(dest_h, jnp.int32)
@@ -326,7 +339,7 @@ def ivf_build(
         offsets = jnp.asarray(offs_h, jnp.int32)
         return IVFIndex(
             centroids, X_sorted, ids_sorted, offsets, counts, chunk, n,
-            X_lo, xnorm2, cells_dev, supers, members,
+            X_lo, xnorm2, cells_dev, supers, members, cell_adj,
         )
 
     order_h = np.argsort(labels_h, kind="stable")
@@ -511,6 +524,23 @@ def _build_supers(centroids, S: int, key):
     return jnp.asarray(perm), jnp.asarray(sup_means), jnp.asarray(members)
 
 
+def _build_cell_adjacency(centroids, P: int | None = None):
+    """(ncells, P) nearest-cell table (self first) for adjacency
+    nomination; None below the size where flat nomination is already
+    cheap."""
+    nlist = centroids.shape[0]
+    if nlist < 256:
+        return None
+    P = P or min(64, int(nlist))
+    from .distance import knn_graph
+
+    _, adj = knn_graph(
+        centroids, k=P, exclude_diag=False, block_size=1024,
+        precision="highest",
+    )
+    return adj
+
+
 def _cells_of_layout(padded_h, chunk, nlist):
     """Host: cell id of every row slot in the aligned sorted layout."""
     cells_h = np.repeat(np.arange(nlist, dtype=np.int32), padded_h)
@@ -564,7 +594,8 @@ def _assign_blockwise(X, centroids, block: int = 4096):
 def _ivf_search_impl(
     Qs, q_rows, index_arrays, k, ncells, budget, block, chunk, m, scan_precision,
     scan_impl="xla", merge="approx", max_ch=None, Qs_lo=None, pos0=0,
-    scan_fidelity="full", n_supers=0, queries_raw=False,
+    scan_fidelity="full", n_supers=0, queries_raw=False, nominate="flat",
+    q_cells=None,
 ):
     """The probe kernel. See the module docstring for the design rationale.
 
@@ -577,14 +608,22 @@ def _ivf_search_impl(
     position ``pos0 + i``) and re-rank rows reconstruct x = c + hi + lo.
     """
     (centroids, X_sorted, ids_sorted, offsets, counts, X_lo, xnorm2,
-     cells_sorted, super_centroids, super_members) = index_arrays
-    use_supers = n_supers > 0 and super_centroids is not None
+     cells_sorted, super_centroids, super_members, cell_adj) = index_arrays
+    use_supers = (
+        nominate == "supers" and n_supers > 0 and super_centroids is not None
+    )
     if use_supers:
         S, memb_w = super_members.shape
         n_supers = min(n_supers, S)
         s_norm = jnp.sum(super_centroids * super_centroids, axis=-1)
         if n_supers * memb_w < ncells or n_supers >= S:
             use_supers = False  # member union too thin to pick ncells cells
+    use_adj = (
+        nominate == "adjacency"
+        and cell_adj is not None
+        and (q_cells is not None or cells_sorted is not None)
+        and cell_adj.shape[1] >= ncells
+    )
     residual = xnorm2 is not None
     nq = Qs.shape[0]
     n_blocks = nq // block
@@ -646,12 +685,35 @@ def _ivf_search_impl(
         # dead queries (pad rows, negative ids) don't get a vote
         alive = (rows >= 0).astype(jnp.float32)
         w_q = alive[:, None] * weights[None, :]
-        if use_supers:
+        members = None
+        if use_adj:
+            # Adjacency nomination: a block's candidate cells are the
+            # precomputed nearest-cell lists of its HOME cells — known for
+            # free from the sorted layout (self queries) or the assignment
+            # labels (raw queries). ~n_home·P wide, geometrically exact;
+            # kills the (block, nlist) matmul + nlist-wide selection that
+            # was the per-block fixed-cost floor at nlist ≥ 8k, without
+            # the super-mean smearing that cost ~9% recall at 10M.
+            P_adj = cell_adj.shape[1]
+            if queries_raw:
+                # raw queries are only sorted by cell: a block can span
+                # several cells, so sample more home positions than the
+                # chunk-aligned self-query path needs
+                n_home = min(8, block)
+                samp = b * block + jnp.arange(n_home) * (block // n_home)
+                home = q_cells[samp]
+            else:
+                n_home = max(1, block // chunk)
+                samp = pos0 + b * block + jnp.arange(n_home) * chunk
+                home = cells_sorted[jnp.minimum(samp, cells_sorted.shape[0] - 1)]
+            cand = jnp.sort(cell_adj[home].reshape(-1))  # (n_home·P,)
+            dup = jnp.concatenate(
+                [jnp.zeros((1,), bool), cand[1:] == cand[:-1]]
+            )
+            members = jnp.where(dup, -1, cand)
+        elif use_supers:
             # Two-level nomination: pick the block's top-voted SUPERS from
-            # an (block, S) matmul, then score only their member cells —
-            # the (block, nlist) HIGH matmul + nlist-wide approx_min_k
-            # below was ~39 s of width-independent per-block cost at 10M
-            # (nlist=16384); the member union is n_supers·W ≈ nlist/16 wide.
+            # an (block, S) matmul, then score only their member cells.
             gqs = jnp.matmul(
                 Qb, super_centroids.T, preferred_element_type=jnp.float32,
                 precision=lax.Precision.HIGH,
@@ -670,6 +732,10 @@ def _ivf_search_impl(
             votes_s = votes_s - jnp.min(Dcs, axis=0) / 1e12
             _, top_s = lax.top_k(votes_s, n_supers)
             members = super_members[top_s].reshape(-1)  # (M,) −1 pads
+
+        if members is not None:
+            # shared member-union scoring: exact per-query distances to the
+            # candidate cells, rank-weighted voting, vote-ordered top-ncells
             mvalid = members >= 0
             mem = jnp.maximum(members, 0)
             gq_m = jnp.matmul(
@@ -678,7 +744,12 @@ def _ivf_search_impl(
             )  # (block, M)
             Dc = sq_dists_from_gram(qn, c_norm[mem], gq_m)
             Dc = Dc + MASK_VALUE * (~mvalid)[None, :].astype(Dc.dtype)
-            _, nom = lax.approx_min_k(Dc, per_query_probes, recall_target=0.995)
+            if Dc.shape[1] <= 1024:
+                _, nom = lax.top_k(-Dc, per_query_probes)
+            else:
+                _, nom = lax.approx_min_k(
+                    Dc, per_query_probes, recall_target=0.995
+                )
             votes = (
                 jnp.zeros((mem.shape[0],), jnp.float32)
                 .at[nom.reshape(-1)]
@@ -931,28 +1002,40 @@ _ivf_search = functools.partial(
     static_argnames=(
         "k", "ncells", "budget", "block", "chunk", "m", "scan_precision", "scan_impl",
         "merge", "max_ch", "scan_fidelity", "n_supers", "queries_raw",
+        "nominate",
     ),
 )(_ivf_search_impl)
 
 
 def _resolve_search_knobs(index, k, nprobe, m, budget, merge, scan_impl,
-                          nprobe_supers=None):
+                          nprobe_supers=None, nomination=None,
+                          has_q_cells=False):
     """Resolve the data-dependent search knobs for an index.
 
     Shared by :func:`ivf_knn` and the mesh-sharded query path
     (parallel/ivf.py). Returns (nprobe, budget, m_eff, merge, max_ch,
-    scan_impl, n_supers).
+    scan_impl, n_supers, nominate).
     """
     chunk = index.chunk
     nlist_total = int(index.centroids.shape[0])
-    if nprobe_supers is None:
-        # hierarchical nomination pays off once the flat (block, nlist)
-        # matmul + nlist-wide selection dominate the per-block fixed cost
-        n_supers = 12 if nlist_total >= 4096 else 0
-    else:
-        n_supers = int(nprobe_supers)
+    n_supers = 0 if nprobe_supers is None else int(nprobe_supers)
     if index.super_centroids is None:
         n_supers = 0
+    if nomination is None:
+        # adjacency nomination pays off once the flat (block, nlist)
+        # matmul + nlist-wide selection dominate the per-block fixed cost;
+        # supers stay opt-in (the smeared group means cost ~9% recall at
+        # 10M geometry, measured round 3)
+        adj_ok = (
+            index.cell_adj is not None
+            and (index.cells_sorted is not None or has_q_cells)
+        )
+        if n_supers > 0:
+            nomination = "supers"
+        elif adj_ok and nlist_total >= 4096:
+            nomination = "adjacency"
+        else:
+            nomination = "flat"
     if merge is None:
         # residual (split) indexes pair best with the hierarchical exact
         # tournament (approx_min_k's binning measurably degrades on the
@@ -990,7 +1073,7 @@ def _resolve_search_knobs(index, k, nprobe, m, budget, merge, scan_impl,
         scan_impl = "slices"
     if index.X_lo is not None and scan_impl == "pallas":
         scan_impl = "xla"  # the Pallas kernel has no split-storage path
-    return nprobe, budget, m_eff, merge, max_ch, scan_impl, n_supers
+    return nprobe, budget, m_eff, merge, max_ch, scan_impl, n_supers, nomination
 
 
 def ivf_knn(
@@ -1010,6 +1093,7 @@ def ivf_knn(
     seg_rows: int = 1 << 21,
     scan_fidelity: str = "full",
     nprobe_supers: int | None = None,
+    nomination: str | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Approximate self-kNN of X through an IVF index.
 
@@ -1034,15 +1118,16 @@ def ivf_knn(
     # rows); callers at memory-bound scales pass X=None with a prebuilt
     # index so only one copy of the database is resident
     n = index.n
-    nprobe, budget, m_eff, merge, max_ch, scan_impl, n_supers = (
+    nprobe, budget, m_eff, merge, max_ch, scan_impl, n_supers, nominate = (
         _resolve_search_knobs(
-            index, k, nprobe, m, budget, merge, scan_impl, nprobe_supers
+            index, k, nprobe, m, budget, merge, scan_impl, nprobe_supers,
+            nomination,
         )
     )
     arrays = (
         index.centroids, index.X_sorted, index.ids_sorted, index.offsets,
         index.counts, index.X_lo, index.xnorm2, index.cells_sorted,
-        index.super_centroids, index.super_members,
+        index.super_centroids, index.super_members, index.cell_adj,
     )
     chunk = index.chunk
 
@@ -1117,13 +1202,14 @@ def ivf_knn(
                 Q_seg, r_seg, arrays, k, nprobe, budget, block, chunk, m_eff,
                 scan_precision, scan_impl, merge, max_ch, Ql_seg,
                 jnp.asarray(a, jnp.int32), scan_fidelity, n_supers,
+                False, nominate,
             )
             out_d, out_i = _scatter_out_jit(out_d, out_i, sid, ds, is_)
         return out_d[:n], out_i[:n]
     d, i = _ivf_search(
         Qs, q_rows, arrays, k, nprobe, budget, block, chunk, m_eff,
         scan_precision, scan_impl, merge, max_ch, Qs_lo, 0, scan_fidelity,
-        n_supers,
+        n_supers, False, nominate,
     )
     d = d.reshape(-1, k)
     i = i.reshape(-1, k)
@@ -1156,6 +1242,7 @@ def ivf_knn_queries(
     seg_rows: int = 1 << 21,
     scan_fidelity: str = "full",
     nprobe_supers: int | None = None,
+    nomination: str | None = None,
     sort_queries: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """kNN of arbitrary query rows against a prebuilt IVF index.
@@ -1172,26 +1259,31 @@ def ivf_knn_queries(
     ``indices`` are original database row ids.
     """
     n = index.n
-    nprobe, budget, m_eff, merge, max_ch, scan_impl, n_supers = (
+    nprobe, budget, m_eff, merge, max_ch, scan_impl, n_supers, nominate = (
         _resolve_search_knobs(
-            index, k, nprobe, m, budget, merge, scan_impl, nprobe_supers
+            index, k, nprobe, m, budget, merge, scan_impl, nprobe_supers,
+            nomination, has_q_cells=sort_queries,
         )
     )
     arrays = (
         index.centroids, index.X_sorted, index.ids_sorted, index.offsets,
         index.counts, index.X_lo, index.xnorm2, index.cells_sorted,
-        index.super_centroids, index.super_members,
+        index.super_centroids, index.super_members, index.cell_adj,
     )
     chunk = index.chunk
     Q = jnp.asarray(Q, jnp.float32)
     nq = Q.shape[0]
 
+    q_cells = None
     if sort_queries:
         labels = _assign_blockwise(Q, index.centroids)
         order = jnp.argsort(labels)
         Q = Q[order]
+        q_cells = labels[order]
         if query_ids is not None:
             query_ids = jnp.asarray(query_ids, jnp.int32)[order]
+    if nominate == "adjacency" and q_cells is None:
+        nominate = "flat"
 
     # exclusion ids: the database id to mask per query (n = match nothing)
     excl = (
@@ -1201,27 +1293,38 @@ def ivf_knn_queries(
     )
 
     n_pad = -(-nq // block) * block
+    if q_cells is None:
+        q_cells = jnp.zeros((nq,), jnp.int32)
     if n_pad != nq:
         Q = jnp.concatenate(
             [Q, jnp.full((n_pad - nq, Q.shape[1]), 1e12, Q.dtype)]
         )
         excl = jnp.concatenate([excl, jnp.full((n_pad - nq,), -2, jnp.int32)])
+        # pad with the last real home cell so adjacency candidates of the
+        # tail block stay in-neighborhood
+        q_cells = jnp.concatenate(
+            [q_cells, jnp.full((n_pad - nq,), q_cells[-1], jnp.int32)]
+        )
 
     d_parts, i_parts = [], []
     seg = max(block, (seg_rows // block) * block)
     for a in range(0, n_pad, seg):
         b = min(n_pad, a + seg)
-        Q_seg, e_seg = Q[a:b], excl[a:b]
+        Q_seg, e_seg, c_seg = Q[a:b], excl[a:b], q_cells[a:b]
         if b - a < seg and n_pad > seg:  # pad tail to reuse the compile
             pad = seg - (b - a)
             Q_seg = jnp.concatenate(
                 [Q_seg, jnp.full((pad, Q.shape[1]), 1e12, Q.dtype)]
             )
             e_seg = jnp.concatenate([e_seg, jnp.full((pad,), -2, jnp.int32)])
+            c_seg = jnp.concatenate(
+                [c_seg, jnp.full((pad,), c_seg[-1], jnp.int32)]
+            )
         ds, is_ = _ivf_search(
             Q_seg, e_seg, arrays, k, nprobe, budget, block, chunk, m_eff,
             scan_precision, scan_impl, merge, max_ch, None,
             jnp.asarray(0, jnp.int32), scan_fidelity, n_supers, True,
+            nominate, c_seg,
         )
         d_parts.append(ds.reshape(-1, k))
         i_parts.append(is_.reshape(-1, k))
@@ -1296,6 +1399,7 @@ def ivf_build_from_batches(
         centroids = centroids[perm_s]  # relabel: supers = contiguous id ranges
     else:
         supers = members = None
+    cell_adj = _build_cell_adjacency(centroids)
 
     # pass 1b: assign each batch (only labels come back to host)
     labels_per_batch = [
@@ -1333,7 +1437,8 @@ def ivf_build_from_batches(
     counts = jnp.asarray(counts_h.astype(np.int32))
     offsets = jnp.asarray(offs_h, jnp.int32)
     f32_bytes = (total + chunk) * d * 4
-    X_lo = xnorm2 = cells_dev = None
+    X_lo = xnorm2 = None
+    cells_dev = jnp.asarray(_cells_of_layout(padded, chunk, nlist))
     if f32_bytes > split_bytes:
         import ml_dtypes
 
@@ -1355,5 +1460,5 @@ def ivf_build_from_batches(
     X_sorted.block_until_ready()
     return IVFIndex(
         centroids, X_sorted, ids_sorted, offsets, counts, chunk, n,
-        X_lo, xnorm2, cells_dev, supers, members,
+        X_lo, xnorm2, cells_dev, supers, members, cell_adj,
     )

@@ -45,6 +45,7 @@ def ivf_knn_sharded(
     merge: str | None = None,
     scan_fidelity: str = "full",
     nprobe_supers: int | None = None,
+    nomination: str | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Approximate self-kNN through an IVF index, queries sharded over a mesh.
 
@@ -59,9 +60,10 @@ def ivf_knn_sharded(
         index = ivf_build(X, n_clusters=n_clusters, key=key)
     n = index.n
     chunk = index.chunk
-    nprobe, budget, m_eff, merge, max_ch, scan_impl, n_supers = (
+    nprobe, budget, m_eff, merge, max_ch, scan_impl, n_supers, nominate = (
         _resolve_search_knobs(
-            index, k, nprobe, m, budget, merge, scan_impl, nprobe_supers
+            index, k, nprobe, m, budget, merge, scan_impl, nprobe_supers,
+            nomination,
         )
     )
 
@@ -97,7 +99,7 @@ def ivf_knn_sharded(
     arrays = (
         index.centroids, index.X_sorted, index.ids_sorted, index.offsets,
         index.counts, index.X_lo, index.xnorm2, index.cells_sorted,
-        index.super_centroids, index.super_members,
+        index.super_centroids, index.super_members, index.cell_adj,
     )
     has_lo = Qs_lo is not None
     # None leaves can't cross the shard_map boundary — strip them and
@@ -115,6 +117,7 @@ def ivf_knn_sharded(
             Qs_l, q_rows_l, full_arrays, k, nprobe, budget, block, chunk,
             m_eff, scan_precision, scan_impl, merge, max_ch,
             Qs_lo_l if has_lo else None, pos0, scan_fidelity, n_supers,
+            False, nominate,
         )
         return d.reshape(-1, k), i.reshape(-1, k)
 
