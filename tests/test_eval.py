@@ -45,6 +45,21 @@ class TestNeighborhoodPreservation:
         score = tdr.neighborhood_preservation(X, Z, K=10)
         assert 0.0 < score <= 1.0
 
+    def test_sampled_identity_is_one(self, toy_blobs):
+        X, _ = toy_blobs
+        s = tdr.neighborhood_preservation_sampled(X, X, K=10, n_queries=64)
+        assert s == pytest.approx(1.0)
+
+    def test_sampled_full_matches_exact(self, toy_blobs):
+        """With n_queries = n the sampled variant equals the full metric."""
+        X, _ = toy_blobs
+        Z = tdr.PCA(n_components=2).fit_transform(X)
+        full = tdr.neighborhood_preservation(X, Z, K=10)
+        sampled = tdr.neighborhood_preservation_sampled(
+            X, Z, K=10, n_queries=X.shape[0]
+        )
+        assert abs(full - sampled) < 1e-6
+
 
 class TestKmeansARI:
     def test_blobs_recovered(self, toy_blobs):
