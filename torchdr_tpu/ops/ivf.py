@@ -1059,9 +1059,19 @@ def _resolve_search_knobs(index, k, nprobe, m, budget, merge, scan_impl,
             sb_chunks = 1.0
         budget = int(np.ceil(nprobe * max(1.0, sb_chunks)) + 4)
     budget = min(budget, (index.X_sorted.shape[0] - chunk) // chunk + 1)
-    # wider margin when the scan is bf16: rank displacement of the
-    # quantized scores must stay inside the exactly-re-ranked m survivors
-    m_eff = m if m is not None else max(2 * k, 64 if index.X_lo is not None else 32)
+    if m is not None:
+        m_eff = m
+    elif merge == "tournament":
+        # the tournament is exact for k ≤ t and full-fidelity residual
+        # scores are f32-grade: measured recall FLAT from m=32 down to
+        # m=16 at 10M while each unit of m costs ~0.5 s of re-rank row
+        # gather — keep only a small safety margin
+        m_eff = max(k + 5, 20)
+    else:
+        # wider margin under approx merges: rank displacement of the
+        # binned/quantized scores must stay inside the exactly-re-ranked
+        # m survivors
+        m_eff = max(2 * k, 64 if index.X_lo is not None else 32)
     # expansion depth must cover the BIGGEST cell, or large home cells
     # silently lose their tail chunks (observed as recall stuck across
     # nprobe increases)
