@@ -145,3 +145,15 @@ class TestCOSNE:
         # embedding must stay inside the Poincaré ball
         assert np.linalg.norm(np.asarray(Z), axis=1).max() < 1.0
         assert tdr.silhouette_score(Z, y) > SIL_FLOOR
+
+    def test_quality_clustered_pca_init(self):
+        """Round-3 regression: the PCA-expmap init (now default) must
+        separate clustered data where random hyperbolic init plateaued at
+        silhouette ≈ 0 (benchmarks/_cosne_r3_tune.py sweep)."""
+        rng = np.random.default_rng(1)
+        centers = rng.normal(scale=8.0, size=(5, 10))
+        y = np.repeat(np.arange(5), 200)
+        X = (centers[y] + rng.normal(size=(1000, 10))).astype(np.float32)
+        Z = tdr.COSNE(perplexity=20, max_iter=300, random_state=0).fit_transform(X)
+        assert np.linalg.norm(np.asarray(Z), axis=1).max() < 1.0
+        assert tdr.silhouette_score(Z, y) > 0.5

@@ -39,7 +39,13 @@ class COSNE(NeighborEmbedding):
         optimizer_kwargs: Union[Dict, str, None] = None,
         scheduler: Optional[str] = None,
         scheduler_kwargs: Optional[Dict] = None,
-        init: str = "hyperbolic",
+        # default differs from the reference ("hyperbolic" random,
+        # torchdr/neighbor_embedding/cosne.py:118): random init in
+        # hyperbolic space separates mass across branches gradient flow
+        # cannot merge back — measured silhouette ≈ 0 at 10k-50k vs
+        # 0.86-1.00 from the PCA-expmap init at otherwise identical
+        # settings (round-3 sweep, benchmarks/_cosne_r3_tune.py)
+        init: str = "pca",
         init_scaling: float = 0.5,
         min_grad_norm: float = 1e-7,
         max_iter: int = 2000,
