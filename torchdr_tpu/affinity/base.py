@@ -120,7 +120,7 @@ class Affinity(BaseEstimator, ABC):
                 ivf_kwargs = dict(
                     k=k, nprobe=cfg.nprobe, n_clusters=cfg.n_clusters,
                     exclude_self=self.zero_diag, budget=cfg.budget,
-                    merge=cfg.merge,
+                    merge=cfg.merge, nomination=cfg.nomination,
                 )
                 if cfg.ivf_block is not None:
                     ivf_kwargs["block"] = int(cfg.ivf_block)

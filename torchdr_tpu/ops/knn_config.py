@@ -46,6 +46,9 @@ class KnnConfig:
     #: governs the exact/approx tiers only — the IVF probe kernel's block is
     #: a separate MXU-shape knob.
     ivf_block: Optional[int] = None
+    #: IVF cell nomination: None → auto (adjacency at nlist ≥ 4096);
+    #: "flat" | "adjacency" | "supers"
+    nomination: Optional[str] = None
 
     def __post_init__(self):
         if self.mode not in ("exact", "approx", "ivf"):
@@ -54,6 +57,10 @@ class KnnConfig:
             raise ValueError(f"[TorchDR-TPU] unknown knn precision {self.precision!r}")
         if self.merge not in (None, "approx", "exact", "tournament"):
             raise ValueError(f"[TorchDR-TPU] unknown ivf merge {self.merge!r}")
+        if self.nomination not in (None, "flat", "adjacency", "supers"):
+            raise ValueError(
+                f"[TorchDR-TPU] unknown ivf nomination {self.nomination!r}"
+            )
 
     def kwargs(self) -> dict:
         return dict(
