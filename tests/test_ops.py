@@ -565,3 +565,54 @@ class TestPQ:
 
         with pytest.raises(ValueError, match="divisible"):
             pq_train(jnp.zeros((100, 30)), M=8)
+
+
+class TestPallasUmapRepulsion:
+    """Interpret-mode coverage of the fused shared-negative UMAP repulsion
+    kernel (ops/pallas/umap_kernel.py) against an f64 direct-difference
+    reference of the shared-negatives force (models/neighbor/base.py:196-233)."""
+
+    A, B, EPS = 1.577, 0.8951, 1e-3
+
+    def _reference(self, Z, neg, w):
+        Z64 = np.asarray(Z, np.float64)
+        Zn = Z64[neg]
+        D = ((Z64[:, None, :] - Zn[None, :, :]) ** 2).sum(-1)
+        coef = -2.0 * self.B / ((D + self.EPS) * (1.0 + self.A * D**self.B))
+        valid = np.asarray(neg)[None, :] != np.arange(Z.shape[0])[:, None]
+        coef = np.where(valid, coef, 0.0) * np.asarray(w, np.float64)[:, None]
+        return np.clip(coef.sum(1)[:, None] * Z64 - coef @ Zn, -4.0, 4.0)
+
+    @pytest.mark.parametrize("d", [2, 3])
+    def test_matches_f64_reference(self, d):
+        from torchdr_tpu.ops.pallas.umap_kernel import fused_shared_repulsion
+
+        rng = np.random.default_rng(0)
+        n, S = 700, 256
+        Z = rng.normal(size=(n, d)).astype(np.float32)
+        neg = rng.integers(0, n, S).astype(np.int32)
+        w = (rng.integers(0, 40, n) / S).astype(np.float32)
+        got = np.asarray(
+            fused_shared_repulsion(
+                jnp.asarray(Z), jnp.asarray(neg), jnp.asarray(w),
+                self.A, self.B, self.EPS, block=128, interpret=True,
+            )
+        )
+        assert np.abs(got - self._reference(Z, neg, w)).max() < 1e-4
+
+    def test_self_collision_masked_and_padding(self):
+        from torchdr_tpu.ops.pallas.umap_kernel import fused_shared_repulsion
+
+        rng = np.random.default_rng(1)
+        n, S = 150, 128  # n far from the block multiple: padded rows dropped
+        Z = rng.normal(size=(n, 2)).astype(np.float32)
+        neg = np.arange(S, dtype=np.int32)  # every sample collides with row s
+        w = np.ones(n, np.float32)
+        got = np.asarray(
+            fused_shared_repulsion(
+                jnp.asarray(Z), jnp.asarray(neg), jnp.asarray(w),
+                self.A, self.B, self.EPS, block=128, interpret=True,
+            )
+        )
+        assert got.shape == (n, 2)
+        assert np.abs(got - self._reference(Z, neg, w)).max() < 1e-4

@@ -79,7 +79,7 @@ class UMAP(NegativeSamplingNeighborEmbedding):
         discard_NNs: bool = False,
         shared_negatives: bool = True,
         n_shared_negatives: Optional[int] = None,
-        edge_groups: int = 1,
+        edge_groups: Union[int, str] = "auto",
         **kwargs,
     ):
         self.n_neighbors = n_neighbors
@@ -88,7 +88,7 @@ class UMAP(NegativeSamplingNeighborEmbedding):
         self.metric = metric
         self.max_iter_affinity = max_iter_affinity
         self.negative_sample_rate = negative_sample_rate
-        self.edge_groups = int(edge_groups)
+        self.edge_groups = edge_groups
         self._eps = 1e-3
 
         if a is None or b is None:
@@ -181,12 +181,38 @@ class UMAP(NegativeSamplingNeighborEmbedding):
             )
         super().on_affinity_computation_end()
 
+    def _edge_groups_for(self, n: int) -> int:
+        """Resolve ``edge_groups="auto"``: rotate 4 edge groups once n is
+        large enough that the per-step neighbor gather dominates the loop.
+
+        Quality evidence (round 3, benchmarks/_umap_quality_r3.py and
+        _umap_1p3m_r3.py): G=4 matches G=1 on input-graph neighborhood
+        preservation AND trustworthiness at both north-star configs
+        (60k x 784: 0.1169 vs 0.1164; 1.3M x 50: 0.0039 vs 0.0035), while
+        cutting the gather 4x. Small datasets keep G=1 (exact per-step
+        schedule, cost is negligible there).
+        """
+        if self.edge_groups == "auto":
+            return 4 if n >= 50_000 else 1
+        return max(1, int(self.edge_groups))
+
+    def _shared_negative_count(self, n: int) -> int:
+        if self.n_shared_negatives is not None:
+            return int(self.n_shared_negatives)
+        # S=512 matches S=2048 on silhouette/preservation at 60k+ (rounds
+        # 2-3) and keeps the (n, S) chain cheap; small n keeps the base
+        # class's wider sample (variance matters more, cost is trivial).
+        if n > 20_000:
+            return 512
+        return super()._shared_negative_count(n)
+
     def _build_consts(self, X):
         consts = super()._build_consts(X)
         P = self.affinity_in_
         NN = jnp.asarray(self.NN_indices_)
 
-        G = max(1, self.edge_groups)
+        G = self._edge_groups_for(P.shape[0])
+        consts["edge_groups_G"] = G
         W = P.shape[1]
         if G > 1:
             # Rotating edge groups: step t touches only columns of group
@@ -231,7 +257,7 @@ class UMAP(NegativeSamplingNeighborEmbedding):
     # --- closed-form gradients (reference: umap.py:236-292) ---
 
     def _attractive_gradients(self, Z, consts, carry, it, key):
-        G = max(1, self.edge_groups)
+        G = consts["edge_groups_G"]
         W = consts["edge_group_width"]
         eons_full = carry["epoch_of_next_sample"]
         eps_full = consts["epochs_per_sample"]
@@ -276,12 +302,40 @@ class UMAP(NegativeSamplingNeighborEmbedding):
         carry = dict(carry, epoch_of_next_sample=eons_full, active_edges=c)
         return grad, carry
 
+    def _use_fused_repulsion(self, Z, S: int) -> bool:
+        """Fused Pallas repulsion: TPU backend, single device (GSPMD-sharded
+        Z would need a shard_map wrapper), lane-aligned S, small d."""
+        import jax as _jax
+
+        return (
+            _jax.default_backend() not in ("cpu",)
+            and getattr(self, "_fit_mesh_", None) is None
+            and S % 128 == 0
+            and Z.shape[1] <= 8
+        )
+
     def _repulsive_gradients(self, Z, consts, carry, it, key):
         # Per-point count of negatives due this step: negative_sample_rate
         # per fired positive edge (reference: umap.py:266-292).
         neg_counts = jnp.sum(carry["active_edges"], axis=1) * self.negative_sample_rate
 
         if self.shared_negatives:
+            import jax as _jax
+
+            n = consts["n"]
+            S = self._shared_negative_count(int(n))
+            if self._use_fused_repulsion(Z, S):
+                # Fused Pallas kernel: same draw, same coefficient chain and
+                # clip, but direct-difference distances (no gram cancellation)
+                # and zero (n, S) HBM intermediates (ops/pallas/umap_kernel.py).
+                from ...ops.pallas.umap_kernel import fused_shared_repulsion
+
+                neg = _jax.random.randint(key, (S,), 0, n)
+                w = neg_counts.astype(jnp.float32) / S
+                grad = fused_shared_repulsion(
+                    Z, neg, w, self._a, self._b, self._eps
+                )
+                return grad, carry
             # TPU-shaped redesign of the repulsion (NOT a translation): all
             # points repel against ONE per-step uniform sample of S points,
             # each weighted by neg_counts_i / S — identical expected force to
