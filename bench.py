@@ -27,7 +27,7 @@ import sys
 import time
 
 N, D, K = 1_000_000, 128, 15
-NLIST, NPROBE, M = 1024, 12, 32
+NLIST, NPROBE, M = 1024, 12, 24  # adjacency nomination, round-3 sweep
 B200_FLAT_S = 10.19
 B200_IVF_S = 2.90
 

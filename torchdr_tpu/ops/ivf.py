@@ -1032,7 +1032,11 @@ def _resolve_search_knobs(index, k, nprobe, m, budget, merge, scan_impl,
         )
         if n_supers > 0:
             nomination = "supers"
-        elif adj_ok and nlist_total >= 4096:
+        elif adj_ok and nlist_total >= 1024:
+            # measured: adjacency beats flat already at nlist=1024
+            # (1M x 128: 2.26 s vs 2.41 s at m=32, identical recall) and
+            # by 1.3x at nlist=16384 (10M); the top-64 adjacency rows are
+            # still a sparse fraction of the cell table at 1024
             nomination = "adjacency"
         else:
             nomination = "flat"
