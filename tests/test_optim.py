@@ -166,3 +166,92 @@ class TestLBFGS:
         for _ in range(5):
             x, st = step(x, st)
         assert bool(jnp.isfinite(x).all())
+
+
+class TestLBFGSMinimize:
+    """Full L-BFGS solver with strong-Wolfe line search (the analog of the
+    reference's torch.optim.LBFGS(line_search_fn='strong_wolfe') branch,
+    torchdr/affinity/entropic.py:500-530, run entirely on-device)."""
+
+    def test_rosenbrock_pytree(self):
+        from torchdr_tpu.utils.optim import lbfgs_minimize
+
+        def f(p):
+            x, y = p
+            return (1.0 - x) ** 2 + 100.0 * (y - x * x) ** 2
+
+        x0 = (jnp.asarray(-1.2), jnp.asarray(1.0))
+        (x, y), fv, k = lbfgs_minimize(
+            jax.value_and_grad(f), x0, max_iter=200, tol=1e-5
+        )
+        assert abs(float(x) - 1.0) < 1e-2 and abs(float(y) - 1.0) < 1e-2
+        assert float(fv) < 1e-4
+        assert int(k) < 200  # converged before the cap
+
+    def test_quadratic_fast_and_monotone(self):
+        from torchdr_tpu.utils.optim import lbfgs_minimize
+
+        rng = np.random.default_rng(3)
+        A = rng.normal(size=(40, 40))
+        A = jnp.asarray(A @ A.T / 40 + np.eye(40), jnp.float32)
+        b = jnp.asarray(rng.normal(size=40), jnp.float32)
+
+        def f(x):
+            return 0.5 * x @ A @ x - b @ x
+
+        x0 = jnp.zeros(40)
+        x, fv, k = lbfgs_minimize(jax.value_and_grad(f), x0, max_iter=100, tol=1e-5)
+        assert float(jnp.linalg.norm(A @ x - b)) < 1e-3
+        assert float(fv) <= float(f(x0))  # never ends above the start
+        assert int(k) <= 60
+
+    def test_line_search_survives_steep_start(self):
+        # unit step at x0 overshoots by ~1e4: the Wolfe search must backtrack
+        from torchdr_tpu.utils.optim import lbfgs_minimize
+
+        def f(x):
+            return jnp.sum(jnp.cosh(5.0 * x))
+
+        x0 = jnp.full((4,), 2.0)
+        x, fv, _ = lbfgs_minimize(jax.value_and_grad(f), x0, max_iter=100, tol=1e-5)
+        assert bool(jnp.isfinite(fv))
+        assert float(jnp.max(jnp.abs(x))) < 1e-3
+
+    def test_sea_dual_value_envelope_identity(self):
+        # jax.grad of the explicit dual objective must reproduce the
+        # first-order dual gradients the Adam path ascends with.
+        from torchdr_tpu.affinity.entropic import sea_dual_value, _log_Pse
+        from torchdr_tpu.ops.reductions import entropy as entropy_red
+
+        rng = np.random.default_rng(5)
+        X = rng.normal(size=(40, 4)).astype(np.float32)
+        C = jnp.asarray(((X[:, None] - X[None]) ** 2).sum(-1))
+        eps = jnp.asarray(rng.uniform(0.5, 2.0, 40).astype(np.float32))
+        mu = jnp.asarray(rng.normal(size=40).astype(np.float32))
+        target = jnp.log(12.0) + 1.0
+
+        for eps_square in (True, False):
+            g_eps, g_mu = jax.grad(
+                lambda e, m: sea_dual_value(C, e, m, eps_square, target),
+                argnums=(0, 1),
+            )(eps, mu)
+            log_P = _log_Pse(C, eps, mu, eps_square)
+            H = entropy_red(log_P, log=True)
+            ref_eps = H - target
+            if eps_square:
+                ref_eps = 2.0 * eps * ref_eps
+            ref_mu = jnp.sum(jnp.exp(log_P), axis=1) - 1.0
+            np.testing.assert_allclose(g_eps, ref_eps, rtol=2e-3, atol=2e-3)
+            np.testing.assert_allclose(g_mu, ref_mu, rtol=2e-3, atol=2e-3)
+
+    def test_sea_lbfgs_hits_entropy_target(self):
+        from torchdr_tpu.affinity import SymmetricEntropicAffinity
+        from torchdr_tpu.ops.reductions import entropy as entropy_red
+
+        rng = np.random.default_rng(7)
+        X = jnp.asarray(rng.normal(size=(80, 5)).astype(np.float32))
+        aff = SymmetricEntropicAffinity(perplexity=10, optimizer="LBFGS", max_iter=200)
+        log_P = aff(X, log=True) + np.log(80)  # un-do the 1/n normalization
+        H = np.asarray(entropy_red(jnp.asarray(log_P), log=True))
+        target = np.log(10.0) + 1.0
+        assert np.abs(H - target).max() < 0.05

@@ -156,10 +156,13 @@ class EntropicAffinity(SparseLogAffinity):
 class SymmetricEntropicAffinity(LogAffinity):
     r"""Symmetric entropic affinity (SEA) of Van Assel et al. 2023.
 
-    Dual ascent (functional Adam) on :math:`(\varepsilon, \mu)` for the
-    entropy-constrained symmetric OT problem (reference: torchdr/affinity/
-    entropic.py:315-577; only the first-order optimizer path is provided —
-    the LBFGS branch is torch-specific and subsumed by Adam here).
+    Dual ascent on :math:`(\varepsilon, \mu)` for the entropy-constrained
+    symmetric OT problem (reference: torchdr/affinity/entropic.py:315-577).
+    ``optimizer="Adam"`` (default) runs functional Adam on the first-order
+    dual gradients; ``optimizer="LBFGS"`` runs a device-resident L-BFGS
+    with strong-Wolfe line search on the explicit dual objective — the
+    analog of the reference's ``torch.optim.LBFGS`` branch, but compiled
+    as a single XLA program (no host line-search round-trips).
     """
 
     def __init__(
@@ -205,8 +208,59 @@ class SymmetricEntropicAffinity(LogAffinity):
         return log_P - math.log(n)
 
 
+def sea_dual_value(C, eps, mu, eps_square, target_entropy):
+    """Negated SEA dual objective (the scalar LBFGS minimizes).
+
+    Envelope form evaluated at the inner-optimal ``P(eps, mu)``:
+    ``D = <P, C> + sum_i eps'_i (target - H_i) + sum_i mu_i (1 - (P 1)_i)``
+    with the +1 entropy convention, so ``jax.grad`` of ``-D`` reproduces
+    exactly the first-order dual gradients the Adam path uses
+    (reference objective: torchdr/affinity/entropic.py:437-577).
+    """
+    _eps = eps**2 if eps_square else eps
+    log_P = _log_Pse(C, eps, mu, eps_square)
+    P = jnp.exp(log_P)
+    H = entropy_red(log_P, log=True)
+    D = (
+        jnp.sum(P * C)
+        + jnp.dot(_eps, target_entropy - H)
+        + jnp.dot(mu, 1.0 - jnp.sum(P, axis=1))
+    )
+    return -D
+
+
+@functools.partial(jax.jit, static_argnames=("eps_square", "max_iter"))
+def _solve_sea_lbfgs(C, perplexity, eps_square, tol, max_iter):
+    """SEA dual solve via full L-BFGS + strong-Wolfe line search.
+
+    Replaces the reference's host-side ``torch.optim.LBFGS`` branch
+    (reference: torchdr/affinity/entropic.py:500-530) with the
+    device-resident ``lbfgs_minimize`` — the whole solve is one XLA
+    program; each line-search trial is one fused dual evaluation.
+    """
+    from ..utils.optim import lbfgs_minimize
+
+    n = C.shape[0]
+    target_entropy = jnp.log(jnp.asarray(perplexity, C.dtype)) + 1.0
+
+    def f(params):
+        eps, mu = params
+        return sea_dual_value(C, eps, mu, eps_square, target_entropy)
+
+    x0 = (jnp.ones((n,), C.dtype), jnp.ones((n,), C.dtype))
+    (eps, mu), _, n_iter = lbfgs_minimize(
+        jax.value_and_grad(f), x0, max_iter=max_iter, tol=tol
+    )
+    if not eps_square:
+        eps = jnp.maximum(eps, 0.0)
+    log_P = _log_Pse(C, eps, mu, eps_square)
+    return log_P, eps, mu, n_iter
+
+
 @functools.partial(jax.jit, static_argnames=("eps_square", "max_iter", "optimizer"))
 def _solve_sea(C, perplexity, lr, eps_square, tol, max_iter, optimizer="Adam"):
+    if optimizer == "LBFGS":
+        return _solve_sea_lbfgs(C, perplexity, eps_square, tol, max_iter)
     n = C.shape[0]
     target_entropy = jnp.log(jnp.asarray(perplexity, C.dtype)) + 1.0
     opt = make_optimizer(optimizer)
