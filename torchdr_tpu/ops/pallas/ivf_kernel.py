@@ -19,6 +19,15 @@ and one row-min). No (block × W) buffer ever reaches HBM.
 The caller gathers the probed rows into a contiguous (W, d) slab first
 (one XLA take of chunk-length runs, ~50 GB/s measured) and maps the
 returned flat positions back through its row index.
+
+STATUS — demoted to opt-in (``scan_impl="pallas"``), not in the auto
+tier. Measured at 1M×128 the m-round extract-min makes it VPU-bound
+(~14 s vs ~2 s for the XLA path with the approx/tournament merges), and
+it has no split-storage path (auto-falls back to "xla" on residual
+indexes). It remains correct (exact selection, covered by tests) and is
+the right starting point if a future bitonic in-VMEM selector lands;
+until then the XLA tournament merge dominates it on every measured
+geometry.
 """
 
 from __future__ import annotations

@@ -1,7 +1,7 @@
 """Numeric and framework utilities."""
 
 from .logger import get_logger, log_phase
-from .optim import make_optimizer, normalize_optimizer_kwargs
+from .optim import lbfgs_minimize, make_optimizer, normalize_optimizer_kwargs
 from .schedulers import make_scheduler
 from .validation import (
     check_entropy,
