@@ -493,6 +493,46 @@ class TestIVF:
         assert np.array_equal(np.asarray(i1), np.asarray(i2))
 
 
+class TestExactWideSelect:
+    """Exact Flat tier on wide databases: the selection must stay exact
+    through the db-chunked running merge and under distance ties (pins the
+    geometry where a two-stage tournament select was tried and rejected —
+    measured +28% vs plain lax.top_k on v5e)."""
+
+    def test_wide_db_matches_bruteforce(self):
+        rng = np.random.default_rng(11)
+        X = jnp.asarray(rng.normal(size=(200, 16)).astype(np.float32))
+        # w = 2304 > 4*256 and divisible by 256 -> tournament path
+        Y = jnp.asarray(rng.normal(size=(2304, 16)).astype(np.float32))
+        d, i = knn_graph(X, Y, k=10)
+        D = ((np.asarray(X)[:, None] - np.asarray(Y)[None]) ** 2).sum(-1)
+        it = np.argsort(D, axis=1)[:, :10]
+        assert (np.asarray(i) == it).mean() > 0.999
+        np.testing.assert_allclose(
+            np.asarray(d), np.sort(D, 1)[:, :10], rtol=1e-4, atol=1e-4
+        )
+
+    def test_db_chunked_self_mode(self):
+        rng = np.random.default_rng(12)
+        X = jnp.asarray(rng.normal(size=(1536, 8)).astype(np.float32))
+        # db_block=512: chunked path with 512-wide (tournament-eligible
+        # only above 1024) and diag exclusion
+        d, i = knn_graph(X, k=5, db_block=512)
+        d2, i2 = knn_graph(X, k=5)  # single dispatch
+        assert np.array_equal(np.sort(np.asarray(i), 1), np.sort(np.asarray(i2), 1))
+
+    def test_duplicate_distance_ties_keep_count(self):
+        # ties across slot boundaries: top-k count must survive the merge
+        rng = np.random.default_rng(13)
+        base = rng.normal(size=(64, 4)).astype(np.float32)
+        Y = jnp.asarray(np.tile(base, (24, 1)))  # 1536 rows, every row x24
+        X = jnp.asarray(base[:8])
+        d, i = knn_graph(X, Y, k=12, exclude_diag=False)
+        assert np.asarray(d).shape == (8, 12)
+        # each query's 12 nearest are copies of itself at distance ~0
+        assert np.allclose(np.asarray(d), 0.0, atol=1e-5)
+
+
 class TestHostChunkedExact:
     def test_matches_single_dispatch(self):
         from torchdr_tpu.ops.distance import knn_graph_host_chunked

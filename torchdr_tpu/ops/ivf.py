@@ -960,14 +960,19 @@ def _ivf_search_impl(
                 vals = -neg
             elif merge == "tournament":
                 # Hierarchical EXACT selection: per-slot top-t then top-m
-                # over the t·budget survivors. Exact for k ≤ t: a global
-                # top-k item is top-k WITHIN its slot, so the slot round
-                # never drops it. Both top_ks are narrow (chunk-wide /
-                # t·budget-wide) — far cheaper than one wide exact top_k,
-                # and none of approx_min_k's ~1% binning loss.
-                t = min(chunk, max(16, k))
-                nslots = buf.shape[1] // chunk  # = min(budget, ncells·max_ch)
-                b3 = (-buf).reshape(block, nslots, chunk)
+                # over the t·nslots survivors. Exact for k ≤ t: a global
+                # top-k item is top-k WITHIN its slot for ANY partition of
+                # the buffer, so the slot round never drops it. Both
+                # top_ks are narrow — far cheaper than one wide exact
+                # top_k, and none of approx_min_k's ~1% binning loss.
+                # (A finer sub-slot split of wide chunks was measured
+                # NEUTRAL at the 1M geometry — 6.34 vs 6.37 s at sub
+                # widths 128/256/512 — the tournament there is scan-
+                # bound, not selection-bound; chunk-wide slots stay.)
+                ts = chunk
+                t = min(ts, max(16, k))
+                nslots = buf.shape[1] // ts
+                b3 = (-buf).reshape(block, nslots, ts)
                 neg1, i1 = lax.top_k(b3, t)               # (block, nslots, t)
                 flat = neg1.reshape(block, nslots * t)
                 neg2, i2 = lax.top_k(flat, min(m, nslots * t))
@@ -975,7 +980,7 @@ def _ivf_search_impl(
                 within = jnp.take_along_axis(
                     i1.reshape(block, nslots * t), i2, axis=1
                 )
-                cidx = (i2 // t) * chunk + within
+                cidx = (i2 // t) * ts + within
             else:
                 vals, cidx = lax.approx_min_k(buf, m, recall_target=0.99)
             pos = row_idx[cidx]         # (block, m): direct flat mapping
