@@ -167,3 +167,39 @@ class TestSchedulersInFit:
         )
         Z = model.fit_transform(X)
         assert np.isfinite(np.asarray(Z)).all()
+
+
+class TestCustomAffinityExtension:
+    """User-defined Affinity subclass through the engine — the pattern in
+    examples/basics/demo_pca_via_affinity_matcher.py (reference demo:
+    examples/basics/demo_pca_via_affinity_matcher.py)."""
+
+    def test_scalar_product_affinity_recovers_pca_subspace(self, X):
+        from torchdr_tpu.affinity import Affinity
+
+        class ScalarProductAffinity(Affinity):
+            def __init__(self):
+                super().__init__(zero_diag=False)
+
+            def _compute_affinity(self, Xa, **kwargs):
+                return Xa @ Xa.T
+
+        Xc = X - X.mean(axis=0)
+        Z_pca = np.asarray(tdr.PCA(n_components=2, random_state=0).fit_transform(Xc))
+        model = AffinityMatcher(
+            affinity_in=ScalarProductAffinity(),
+            affinity_out=ScalarProductAffinity(),
+            loss_fn="square_loss",
+            init="normal",
+            lr=1e1,
+            # The iid-normal fixture has a small PC2/PC3 eigen-gap
+            # (67.6 vs 63.5), so subspace convergence needs the longer run.
+            max_iter=3000,
+            random_state=0,
+        )
+        Z_am = np.asarray(model.fit_transform(Xc))
+
+        Qa, _ = np.linalg.qr(Z_pca)
+        Qb, _ = np.linalg.qr(Z_am)
+        s = np.linalg.svd(Qa.T @ Qb, compute_uv=False)
+        assert s.mean() > 0.99
