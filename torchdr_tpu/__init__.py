@@ -57,23 +57,29 @@ from .models import (
     UMAP,
 )
 from .ops import (
+    BatchSource,
     binary_search,
     false_position,
     EXACT,
     FAST,
     IVF,
+    get_loader_metadata,
     ivf_build,
+    ivf_build_from_batches,
     ivf_knn,
+    ivf_knn_queries,
     kmeans_fit,
     KnnConfig,
     knn_graph,
     knn_graph_from_batches,
+    knn_graph_streaming,
     pairwise_distances,
     pairwise_distances_indexed,
     pq_encode,
     pq_knn,
     pq_search,
     pq_train,
+    validate_deterministic_loader,
 )
 from .ops.distance import knn_graph_host_chunked
 
@@ -91,7 +97,9 @@ __all__ = [
     "MAGICAffinity", "PACMAPAffinity", "PHATEAffinity", "SelfTuningAffinity", "UMAPAffinity",
     "knn_graph", "knn_graph_host_chunked", "pairwise_distances",
     "pairwise_distances_indexed",
-    "KnnConfig", "EXACT", "FAST", "IVF", "ivf_build", "ivf_knn",
-    "kmeans_fit", "knn_graph_from_batches",
+    "KnnConfig", "EXACT", "FAST", "IVF", "ivf_build", "ivf_build_from_batches",
+    "ivf_knn", "ivf_knn_queries",
+    "kmeans_fit", "knn_graph_from_batches", "knn_graph_streaming",
+    "BatchSource", "get_loader_metadata", "validate_deterministic_loader",
     "pq_train", "pq_encode", "pq_search", "pq_knn",
 ]

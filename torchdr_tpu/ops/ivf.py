@@ -1366,29 +1366,28 @@ def ivf_build_from_batches(
     split_bytes: int = 4 << 30,
     n_superlist: int | None = None,
 ) -> IVFIndex:
-    """Build an IVF index incrementally from an iterable of host batches.
+    """Build an IVF index incrementally from a multi-pass batch feed.
 
     The streaming analog of the reference's two-pass DataLoader build
     (train quantizer on sampled batches, then assign/add per batch —
-    torchdr/distance/faiss.py:594-738). Batches may be numpy arrays,
-    torch tensors, or (data, target) tuples. The full dataset is NEVER
-    materialized as one unsorted host array: each batch is written
-    directly into its destination slots of the sorted layout, so peak
-    host memory is the sorted buffer + one batch (vs 2× dataset for
-    concatenate-then-permute). Device memory holds only the training
-    sample, per-batch assignment pushes, and the final pushed planes.
+    torchdr/distance/faiss.py:594-738). ``batches`` may be anything
+    :class:`~torchdr_tpu.ops.loader.BatchSource` accepts: a list of
+    numpy/torch arrays, ``(data, target)`` tuples, a one-shot generator
+    (buffered), a torch DataLoader, or a zero-arg callable returning a
+    fresh iterator. Re-iterable sources are REPLAYED per pass (sampling /
+    assignment / write), so for them the unsorted dataset is never held in
+    host memory: peak host = the sorted layout buffer + one batch + the
+    O(n) assignment labels. DataLoader-like sources are validated against
+    shuffling samplers (multi-pass reads need one fixed row order) and
+    their counting pass is cached per loader object — the analog of the
+    reference's deterministic-sampler check + metadata cache
+    (faiss.py:23-110). Device memory holds only the training sample,
+    per-batch assignment pushes, and the final pushed planes.
     """
-    batch_list = []
-    for batch in batches:
-        if isinstance(batch, (list, tuple)):
-            batch = batch[0]
-        if hasattr(batch, "detach"):
-            batch = batch.detach().cpu().numpy()
-        batch_list.append(np.ascontiguousarray(batch, np.float32))
-    if not batch_list:
-        raise ValueError("[TorchDR-TPU] ERROR : empty batch iterable.")
-    n = sum(b.shape[0] for b in batch_list)
-    d = batch_list[0].shape[1]
+    from .loader import BatchSource
+
+    src = BatchSource(batches)
+    n, d = src.shape_hint()
     nlist = n_clusters or auto_nlist(n)
     key = key if key is not None else jax.random.PRNGKey(0)
     if chunk is None:
@@ -1396,11 +1395,11 @@ def ivf_build_from_batches(
         chunk = int(min(512, max(64, -(-int(1.3 * mean_cell) // 64) * 64)))
     chunk = min(chunk, max(64, n))
 
-    # pass 1a: training sample — proportional per-batch strided subsample
+    # pass 1: training sample — proportional per-batch strided subsample
     train_size = min(n, max(train_size, 64 * nlist))
     rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 1 << 30)))
     parts = []
-    for b in batch_list:
+    for b in src:
         take = max(1, int(round(train_size * b.shape[0] / n)))
         sel = rng.choice(b.shape[0], min(take, b.shape[0]), replace=False)
         parts.append(b[np.sort(sel)])
@@ -1410,6 +1409,7 @@ def ivf_build_from_batches(
         init="random" if nlist >= 2048 else "++",
     )
     centroids.block_until_ready()
+    del train, parts
 
     if n_superlist is None:
         n_superlist = max(32, nlist // 64) if nlist >= 1024 else 0
@@ -1420,25 +1420,30 @@ def ivf_build_from_batches(
         supers = members = None
     cell_adj = _build_cell_adjacency(centroids)
 
-    # pass 1b: assign each batch (only labels come back to host)
-    labels_per_batch = [
-        _assign_host_segmented(b, centroids) for b in batch_list
-    ]
+    # pass 2: assign each batch (only labels come back to host)
+    labels_per_batch = [_assign_host_segmented(b, centroids) for b in src]
     counts_h = np.zeros((nlist,), np.int64)
     for lab in labels_per_batch:
         counts_h += np.bincount(lab, minlength=nlist)
+    if int(counts_h.sum()) != n:
+        raise ValueError(
+            "[TorchDR-TPU] ERROR : batch feed yielded "
+            f"{int(counts_h.sum())} rows on the assignment pass but "
+            f"{n} rows were expected — the source must produce the same "
+            "batches on every pass (shuffle=False, deterministic factory)."
+        )
 
     # aligned layout (same convention as ivf_build align=True)
     padded = (np.ceil(counts_h / chunk).astype(np.int64) * chunk)
     offs_h = np.concatenate([[0], np.cumsum(padded)[:-1]]).astype(np.int64)
     total = int(padded.sum())
 
-    # pass 2: write each batch straight into its sorted destination slots
+    # pass 3: write each batch straight into its sorted destination slots
     Xs_h = np.zeros((total + chunk, d), np.float32)
     ids_h = np.full((total + chunk,), -1, np.int32)
     fill = offs_h.copy()  # next free slot per cell
     row0 = 0
-    for b_arr, lab in zip(batch_list, labels_per_batch):
+    for b_arr, lab in zip(src, labels_per_batch):
         order = np.argsort(lab, kind="stable")
         lab_s = lab[order]
         # consecutive runs per cell → contiguous destination ranges
@@ -1452,6 +1457,11 @@ def ivf_build_from_batches(
         Xs_h[dest] = b_arr[order]
         ids_h[dest] = row0 + order.astype(np.int32)
         row0 += b_arr.shape[0]
+    if row0 != n:
+        raise ValueError(
+            f"[TorchDR-TPU] ERROR : write pass saw {row0} rows, expected "
+            f"{n} — the batch feed must replay identically on every pass."
+        )
 
     counts = jnp.asarray(counts_h.astype(np.int32))
     offsets = jnp.asarray(offs_h, jnp.int32)

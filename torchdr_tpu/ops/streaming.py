@@ -8,12 +8,14 @@ Replacement for the reference's DataLoader-fed Faiss index build
 - :func:`~torchdr_tpu.ops.ivf.ivf_build_from_batches` — incremental IVF
   build: batches are written straight into the sorted layout, the
   unsorted dataset is never materialized (the reference's 2-pass
-  train+add, faiss.py:594-738).
+  train+add, faiss.py:594-738); re-iterable feeds (DataLoader, factory)
+  are replayed per pass, never buffered.
 - :func:`knn_graph_streaming` — **beyond-HBM**: the database is split
   into segments, each segment gets its own device-resident IVF index and
   is queried by ALL rows (streamed in chunks), with a running top-k merge
   on host. Device memory is one segment index + one query chunk, so the
-  dataset may exceed device HBM by the number of segments.
+  dataset may exceed device HBM by the number of segments — and host RAM
+  too, when fed a replayable source (see :mod:`torchdr_tpu.ops.loader`).
 
 Self-matches are removed with the k+1/strip trick (reference:
 torchdr/distance/base.py:186-206) or IVF id-exclusion.
@@ -27,17 +29,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from .distance import knn_graph
+from .loader import BatchSource
 
 
 def _to_device_batches(batches) -> list:
-    out = []
-    for batch in batches:
-        if isinstance(batch, (list, tuple)):
-            batch = batch[0]
-        if hasattr(batch, "detach"):
-            batch = batch.detach().cpu().numpy()
-        out.append(jnp.asarray(np.asarray(batch, np.float32)))
-    return out
+    return [jnp.asarray(b) for b in BatchSource(batches)]
 
 
 def knn_graph_from_batches(
@@ -99,19 +95,6 @@ def knn_graph_from_batches(
     return jnp.concatenate(dists_out, axis=0), jnp.concatenate(idx_out, axis=0)
 
 
-def _host_batches(batches) -> list:
-    out = []
-    for batch in batches:
-        if isinstance(batch, (list, tuple)):
-            batch = batch[0]
-        if hasattr(batch, "detach"):
-            batch = batch.detach().cpu().numpy()
-        out.append(np.ascontiguousarray(batch, np.float32))
-    if not out:
-        raise ValueError("[TorchDR-TPU] ERROR : empty batch iterable.")
-    return out
-
-
 def knn_graph_streaming(
     batches: Iterable,
     k: int = 15,
@@ -135,13 +118,21 @@ def knn_graph_streaming(
     single-index IVF tier's (each true neighbor lives in exactly one
     segment and is found iff its cell is probed there).
 
+    ``batches`` may be anything :class:`~torchdr_tpu.ops.loader.BatchSource`
+    accepts. Re-iterable sources (torch DataLoader with shuffle=False, or a
+    zero-arg factory) are REPLAYED rather than buffered, so the dataset may
+    exceed host RAM as well as device HBM — at the cost of re-reading the
+    feed for each segment's build and query sweep. Array lists and one-shot
+    generators are held in host memory as before.
+
     Returns host ``(dists, indices)`` of shape ``(n, k)``.
     """
     from .ivf import auto_nlist, ivf_build_from_batches, ivf_knn_queries
 
-    batch_list = _host_batches(batches)
-    n = sum(b.shape[0] for b in batch_list)
-    d = batch_list[0].shape[1]
+    src = BatchSource(batches)
+    meta = src.metadata()
+    n, d = meta["n_samples"], meta["n_features"]
+    sizes = meta["batch_sizes"]
     if seg_bytes is None:
         from .ivf import _permute_hbm_budget
 
@@ -151,26 +142,25 @@ def knn_graph_streaming(
 
     # group whole batches into segments (a batch never straddles segments;
     # callers control granularity via their batch size)
-    segments: list = []
-    cur: list = []
-    cur_bytes = 0
-    for b in batch_list:
-        b_bytes = b.shape[0] * d * 4
-        if cur and cur_bytes + b_bytes > seg_bytes:
-            segments.append(cur)
-            cur, cur_bytes = [], 0
-        cur.append(b)
+    segments: list = []  # (batch_lo, batch_hi, n_rows)
+    cur_lo = 0
+    cur_bytes = cur_rows = 0
+    for bi, m in enumerate(sizes):
+        b_bytes = m * d * 4
+        if bi > cur_lo and cur_bytes + b_bytes > seg_bytes:
+            segments.append((cur_lo, bi, cur_rows))
+            cur_lo, cur_bytes, cur_rows = bi, 0, 0
         cur_bytes += b_bytes
-    segments.append(cur)
+        cur_rows += m
+    segments.append((cur_lo, len(sizes), cur_rows))
 
     out_d = np.full((n, k), np.inf, np.float32)
     out_i = np.full((n, k), -1, np.int64)
     seg_start = 0
-    for si, seg in enumerate(segments):
-        n_s = sum(b.shape[0] for b in seg)
+    for si, (blo, bhi, n_s) in enumerate(segments):
         nlist_s = n_clusters or auto_nlist(n_s)
         index = ivf_build_from_batches(
-            seg, n_clusters=nlist_s, key=key, **ivf_kwargs
+            src.slice(blo, bhi), n_clusters=nlist_s, key=key, **ivf_kwargs
         )
         if verbose:
             print(
@@ -179,7 +169,7 @@ def knn_graph_streaming(
                 flush=True,
             )
         q0 = 0
-        for qb in batch_list:
+        for qb in src:
             for a in range(0, qb.shape[0], query_chunk):
                 Qc = qb[a : a + query_chunk]
                 gids = q0 + a + np.arange(Qc.shape[0])
