@@ -137,7 +137,9 @@ def main():
             memb_w=int(idx.super_members.shape[1]) if idx.super_members is not None else 0,
             **{k: v for k, v in kwargs.items() if k != "verbose"})
 
-    do_build(n_superlist=256)
+    build0 = {"n_superlist": 256}
+    build0.update(json.loads(os.environ.get("IVF_DRIVER_BUILD", "{}")))
+    do_build(**build0)
 
     log(step="ready")
     last_mtime = 0.0

@@ -348,6 +348,35 @@ class TestIVF:
         # no self matches
         assert not (i1n == np.arange(n)[:, None]).any()
 
+    def test_rerank_false_matches_reranked(self):
+        """Scan-score output (rerank=False skips the exact survivor
+        re-rank) must agree with the re-ranked path on both storage tiers:
+        the selection scores are distance-faithful under the default
+        full-fidelity/high-precision scans."""
+        from torchdr_tpu.ops.ivf import ivf_build, ivf_knn
+
+        rng = np.random.default_rng(7)
+        centers = rng.normal(scale=8.0, size=(24, 16)).astype(np.float32)
+        X = jnp.asarray(
+            np.concatenate([c + rng.normal(size=(400, 16)) for c in centers])
+            .astype(np.float32)
+        )
+        for split_kw in ({}, {"split_bytes": 1}):
+            index = ivf_build(X, n_clusters=24, **split_kw)
+            d1, i1 = ivf_knn(
+                None, k=10, nprobe=8, index=index, merge="tournament"
+            )
+            d2, i2 = ivf_knn(
+                None, k=10, nprobe=8, index=index, merge="tournament",
+                rerank=False,
+            )
+            agree = (np.asarray(i1) == np.asarray(i2)).mean()
+            assert agree > 0.995, (split_kw, agree)
+            rel = np.abs(np.asarray(d1) - np.asarray(d2)) / (
+                np.asarray(d1) + 1e-3
+            )
+            assert float(rel.max()) < 2e-3, (split_kw, float(rel.max()))
+
     def test_prebuilt_index_reuse(self):
         from torchdr_tpu.ops.ivf import ivf_build, ivf_knn
 

@@ -595,7 +595,7 @@ def _ivf_search_impl(
     Qs, q_rows, index_arrays, k, ncells, budget, block, chunk, m, scan_precision,
     scan_impl="xla", merge="approx", max_ch=None, Qs_lo=None, pos0=0,
     scan_fidelity="full", n_supers=0, queries_raw=False, nominate="flat",
-    q_cells=None,
+    q_cells=None, rerank=True,
 ):
     """The probe kernel. See the module docstring for the design rationale.
 
@@ -985,6 +985,20 @@ def _ivf_search_impl(
                 vals, cidx = lax.approx_min_k(buf, m, recall_target=0.99)
             pos = row_idx[cidx]         # (block, m): direct flat mapping
 
+            if not rerank:
+                # Scan-score output: the selection scores are already
+                # distance-faithful (exact f32 |x|² + f32-grade q·x under
+                # full-fidelity residual or high-precision f32 scans), so
+                # assembling D² = |x|² − 2q·x + |q|² skips the (block, m, d)
+                # survivor row gather — the dominant width-independent cost
+                # of the 10M search (~0.5 s per m-unit). Selection ran with
+                # m = k, and `vals` is ascending, so outputs are sorted.
+                D2 = vals[:, :k] + qn[:, None]
+                D2 = jnp.where(
+                    vals[:, :k] >= MASK_VALUE * 0.5, MASK_VALUE, D2
+                )
+                return D2, ids_sorted[pos[:, :k]]
+
         # exact f32 re-rank of the m survivors (difference form: fused VPU,
         # no catastrophic cancellation, no norm gathers)
         Xg = rows_f32(pos)  # (block, m, d) row gather — ~50 GB/s, cheap
@@ -1007,14 +1021,14 @@ _ivf_search = functools.partial(
     static_argnames=(
         "k", "ncells", "budget", "block", "chunk", "m", "scan_precision", "scan_impl",
         "merge", "max_ch", "scan_fidelity", "n_supers", "queries_raw",
-        "nominate",
+        "nominate", "rerank",
     ),
 )(_ivf_search_impl)
 
 
 def _resolve_search_knobs(index, k, nprobe, m, budget, merge, scan_impl,
                           nprobe_supers=None, nomination=None,
-                          has_q_cells=False):
+                          has_q_cells=False, rerank=True):
     """Resolve the data-dependent search knobs for an index.
 
     Shared by :func:`ivf_knn` and the mesh-sharded query path
@@ -1068,7 +1082,15 @@ def _resolve_search_knobs(index, k, nprobe, m, budget, merge, scan_impl,
             sb_chunks = 1.0
         budget = int(np.ceil(nprobe * max(1.0, sb_chunks)) + 4)
     budget = min(budget, (index.X_sorted.shape[0] - chunk) // chunk + 1)
-    if m is not None:
+    if not rerank:
+        # scan-score output: selection IS the final ranking, so the margin
+        # has no role — select exactly k (outputs take the first k columns
+        # of a wider explicit m, which only pads the selection). Only sound
+        # when the scan scores are distance-faithful: full-fidelity
+        # residual scans or high/highest-precision f32 scans (the
+        # defaults). The tournament merge keeps the selection itself exact.
+        m_eff = k if m is None else max(int(m), k)
+    elif m is not None:
         m_eff = m
     elif merge == "tournament":
         # the tournament is exact for k ≤ t and full-fidelity residual
@@ -1092,6 +1114,8 @@ def _resolve_search_knobs(index, k, nprobe, m, budget, merge, scan_impl,
         scan_impl = "slices"
     if index.X_lo is not None and scan_impl == "pallas":
         scan_impl = "xla"  # the Pallas kernel has no split-storage path
+    if not rerank and scan_impl == "pallas":
+        scan_impl = "xla"  # the fused kernel always re-ranks
     return nprobe, budget, m_eff, merge, max_ch, scan_impl, n_supers, nomination
 
 
@@ -1113,8 +1137,15 @@ def ivf_knn(
     scan_fidelity: str = "full",
     nprobe_supers: int | None = None,
     nomination: str | None = None,
+    rerank: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Approximate self-kNN of X through an IVF index.
+
+    ``rerank=False`` returns scan-score distances directly (selection runs
+    at width k, skipping the exact f32 survivor re-rank — the dominant
+    width-independent cost at 10M). Distances are f32-grade assemblies
+    |x|² − 2q·x + |q|² rather than exact recomputation; sound with the
+    default full-fidelity/high-precision scans.
 
     Returns (dists, indices) of shape (n, k) in original row order.
     Pass a prebuilt ``index`` to amortize the build across calls.
@@ -1140,7 +1171,7 @@ def ivf_knn(
     nprobe, budget, m_eff, merge, max_ch, scan_impl, n_supers, nominate = (
         _resolve_search_knobs(
             index, k, nprobe, m, budget, merge, scan_impl, nprobe_supers,
-            nomination,
+            nomination, rerank=rerank,
         )
     )
     arrays = (
@@ -1221,14 +1252,14 @@ def ivf_knn(
                 Q_seg, r_seg, arrays, k, nprobe, budget, block, chunk, m_eff,
                 scan_precision, scan_impl, merge, max_ch, Ql_seg,
                 jnp.asarray(a, jnp.int32), scan_fidelity, n_supers,
-                False, nominate,
+                False, nominate, rerank=rerank,
             )
             out_d, out_i = _scatter_out_jit(out_d, out_i, sid, ds, is_)
         return out_d[:n], out_i[:n]
     d, i = _ivf_search(
         Qs, q_rows, arrays, k, nprobe, budget, block, chunk, m_eff,
         scan_precision, scan_impl, merge, max_ch, Qs_lo, 0, scan_fidelity,
-        n_supers, False, nominate,
+        n_supers, False, nominate, rerank=rerank,
     )
     d = d.reshape(-1, k)
     i = i.reshape(-1, k)
@@ -1263,6 +1294,7 @@ def ivf_knn_queries(
     nprobe_supers: int | None = None,
     nomination: str | None = None,
     sort_queries: bool = True,
+    rerank: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """kNN of arbitrary query rows against a prebuilt IVF index.
 
@@ -1281,7 +1313,7 @@ def ivf_knn_queries(
     nprobe, budget, m_eff, merge, max_ch, scan_impl, n_supers, nominate = (
         _resolve_search_knobs(
             index, k, nprobe, m, budget, merge, scan_impl, nprobe_supers,
-            nomination, has_q_cells=sort_queries,
+            nomination, has_q_cells=sort_queries, rerank=rerank,
         )
     )
     arrays = (
@@ -1343,7 +1375,7 @@ def ivf_knn_queries(
             Q_seg, e_seg, arrays, k, nprobe, budget, block, chunk, m_eff,
             scan_precision, scan_impl, merge, max_ch, None,
             jnp.asarray(0, jnp.int32), scan_fidelity, n_supers, True,
-            nominate, c_seg,
+            nominate, c_seg, rerank=rerank,
         )
         d_parts.append(ds.reshape(-1, k))
         i_parts.append(is_.reshape(-1, k))

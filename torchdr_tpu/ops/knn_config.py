@@ -49,6 +49,11 @@ class KnnConfig:
     #: IVF cell nomination: None → auto (adjacency at nlist ≥ 4096);
     #: "flat" | "adjacency" | "supers"
     nomination: Optional[str] = None
+    #: IVF survivor re-rank: False returns scan-score distances directly
+    #: (skips the exact f32 re-rank gather — the dominant width-independent
+    #: cost at 10M; sound with the default full-fidelity/high-precision
+    #: scans, measured ≥99.5% id agreement with the re-ranked path)
+    rerank: bool = True
 
     def __post_init__(self):
         if self.mode not in ("exact", "approx", "ivf"):

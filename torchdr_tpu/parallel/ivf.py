@@ -46,6 +46,7 @@ def ivf_knn_sharded(
     scan_fidelity: str = "full",
     nprobe_supers: int | None = None,
     nomination: str | None = None,
+    rerank: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Approximate self-kNN through an IVF index, queries sharded over a mesh.
 
@@ -63,7 +64,7 @@ def ivf_knn_sharded(
     nprobe, budget, m_eff, merge, max_ch, scan_impl, n_supers, nominate = (
         _resolve_search_knobs(
             index, k, nprobe, m, budget, merge, scan_impl, nprobe_supers,
-            nomination,
+            nomination, rerank=rerank,
         )
     )
 
@@ -117,7 +118,7 @@ def ivf_knn_sharded(
             Qs_l, q_rows_l, full_arrays, k, nprobe, budget, block, chunk,
             m_eff, scan_precision, scan_impl, merge, max_ch,
             Qs_lo_l if has_lo else None, pos0, scan_fidelity, n_supers,
-            False, nominate,
+            False, nominate, rerank=rerank,
         )
         return d.reshape(-1, k), i.reshape(-1, k)
 
