@@ -47,7 +47,7 @@ def main():
         X, n_clusters=3277, chunk=128, kmeans_iters=15, split_bytes=0
     )
     del X
-    for budget in (70, 76, 128, 64, 71, 120):
+    for budget in (140, 142, 210, 256, 96, 112):
         kw = dict(
             k=K, nprobe=12, m=16, index=index, rerank=False, budget=budget,
             scan_precision="high",
