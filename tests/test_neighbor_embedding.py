@@ -62,6 +62,23 @@ class TestDuplicates:
         # duplicated inputs must receive identical embeddings
         assert np.allclose(Z[100:], Z[:10], atol=1e-6)
 
+    def test_deduplicate_hash_prefilter(self):
+        """deduplicate() decides via a row-hash prefilter (cheap path) but
+        must agree with exact np.unique semantics on both outcomes, and
+        keep numpy inputs on host (no device push inside)."""
+        from torchdr_tpu.utils.wrappers import deduplicate
+
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(500, 16)).astype(np.float32)
+        out, inv = deduplicate(X)
+        assert inv is None and out is X  # clean: zero-copy pass-through
+
+        Xd = np.concatenate([X, X[:7]], axis=0)
+        out, inv = deduplicate(Xd)
+        assert isinstance(out, np.ndarray)  # host in → host out
+        assert out.shape[0] == 500
+        np.testing.assert_allclose(out[inv], Xd)
+
 
 class TestValidation:
     def test_perplexity_too_large(self, toy_moons):

@@ -25,7 +25,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from .utils.logger import get_logger
-from .utils.wrappers import deduplicate, restore_format, to_jax, validate_2d
+from .utils.wrappers import (
+    deduplicate,
+    restore_format,
+    to_host,
+    to_jax,
+    validate_2d,
+)
 
 
 class BaseEstimator:
@@ -120,23 +126,27 @@ class DRModule(BaseEstimator, ABC):
         mapped back through the inverse index (reference: torchdr/base.py:
         125-151).
         """
-        X_jax, fmt = to_jax(X)
-        validate_2d(X_jax)
+        # Validation + dedup run on the HOST array, before the single
+        # device push: the old to_jax-then-np.asarray order pulled the full
+        # dataset back over the host↔device link twice per fit (~15 s at
+        # 60k×784 on the axon tunnel, dwarfing the training loop).
+        X_host, fmt = to_host(X)
+        validate_2d(X_host)
         self._input_format_ = fmt
 
         if self.process_duplicates:
-            X_unique, inverse = deduplicate(X_jax)
+            X_unique, inverse = deduplicate(X_host)
             if inverse is not None:
                 self.logger.info(
-                    f"Detected {X_jax.shape[0] - X_unique.shape[0]} duplicate samples, "
+                    f"Detected {X_host.shape[0] - X_unique.shape[0]} duplicate samples, "
                     "performing DR on unique data."
                 )
-                emb_unique = self._fit_transform(X_unique, y=y)
+                emb_unique = self._fit_transform(jnp.asarray(X_unique), y=y)
                 self.embedding_ = jnp.asarray(emb_unique)[inverse]
             else:
-                self.embedding_ = self._fit_transform(X_jax, y=y)
+                self.embedding_ = self._fit_transform(jnp.asarray(X_host), y=y)
         else:
-            self.embedding_ = self._fit_transform(X_jax, y=y)
+            self.embedding_ = self._fit_transform(jnp.asarray(X_host), y=y)
 
         self.is_fitted_ = True
         return restore_format(self.embedding_, fmt)
