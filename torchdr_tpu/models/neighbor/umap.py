@@ -185,14 +185,20 @@ class UMAP(NegativeSamplingNeighborEmbedding):
         """Resolve ``edge_groups="auto"``: rotate 4 edge groups once n is
         large enough that the per-step neighbor gather dominates the loop.
 
-        Quality evidence (round 3, benchmarks/_umap_quality_r3.py and
-        _umap_1p3m_r3.py): G=4 matches G=1 on input-graph neighborhood
-        preservation AND trustworthiness at both north-star configs
-        (60k x 784: 0.1169 vs 0.1164; 1.3M x 50: 0.0039 vs 0.0035), while
-        cutting the gather 4x. Small datasets keep G=1 (exact per-step
+        Quality evidence (round 3, benchmarks/_umap_quality_r3.py,
+        _umap_1p3m_r3.py, _umap_1p3m_groups.py): G=4 matches G=1 on
+        input-graph neighborhood preservation AND trustworthiness at both
+        north-star configs (60k x 784: 0.1169 vs 0.1164; 1.3M x 50:
+        0.0039 vs 0.0035), and G=12 at 1.3M keeps preservation
+        (0.0050 vs G=4's 0.0036) and silhouette (0.980 vs 0.989) while
+        cutting the warm fit 218 s -> 130 s — the attraction gather is
+        index-bound (~6.5 ns/index at 1.3M), so gathered-edge count is
+        the only lever. Small datasets keep G=1 (exact per-step
         schedule, cost is negligible there).
         """
         if self.edge_groups == "auto":
+            if n >= 500_000:
+                return 12
             return 4 if n >= 50_000 else 1
         return max(1, int(self.edge_groups))
 
