@@ -151,6 +151,32 @@ class TestSparse:
         vo, io = symmetrize_sparse(vals, idx, mode="sum")
         assert bool(((np.asarray(io) == -1) | (np.asarray(vo) != 0)).all())
 
+    def test_auto_width_budget_cap(self, monkeypatch):
+        """Auto k_out is memory-capped at large n·degree (the uncapped
+        flattened index overflowed int32 at 1.3M — regression): the cap
+        drops the WEAKEST hub edges only."""
+        import torchdr_tpu.ops.sparse as sp
+
+        rng = np.random.default_rng(1)
+        n, k = 64, 8
+        # every row points at row 0 → row 0's symmetric degree is n-1+k
+        idx = np.stack(
+            [np.concatenate([[0], rng.choice(np.arange(1, n), k - 1, False)])
+             for _ in range(n)]
+        ).astype(np.int32)
+        idx[0, 0] = 1
+        vals = rng.random((n, k)).astype(np.float32) + 0.1
+        monkeypatch.setattr(sp, "_AUTO_KOUT_BUDGET_ENTRIES", n * 16)
+        with pytest.warns(UserWarning, match="capping k_out"):
+            vo, io = sp.symmetrize_sparse(jnp.array(vals), jnp.array(idx))
+        assert vo.shape == (n, 16)
+        # row 0 keeps its 16 STRONGEST symmetric edges
+        dense = np.asarray(sparse_to_dense(*symmetrize_sparse(
+            jnp.array(vals), jnp.array(idx), k_out=n), n))
+        top = np.sort(dense[0])[::-1][:16]
+        got = np.sort(np.asarray(vo)[0])[::-1]
+        np.testing.assert_allclose(got, top, rtol=1e-5)
+
 
 def test_svd_flip_deterministic():
     X = jax.random.normal(jax.random.PRNGKey(4), (30, 5))

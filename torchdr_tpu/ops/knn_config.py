@@ -50,10 +50,14 @@ class KnnConfig:
     #: "flat" | "adjacency" | "supers"
     nomination: Optional[str] = None
     #: IVF survivor re-rank: False returns scan-score distances directly
-    #: (skips the exact f32 re-rank gather — the dominant width-independent
-    #: cost at 10M; sound with the default full-fidelity/high-precision
-    #: scans, measured ≥99.5% id agreement with the re-ranked path)
-    rerank: bool = True
+    #: (skips the exact f32 re-rank row gather — index-bound on TPU and the
+    #: dominant cost of wide-k graph builds: 1.3M×50 k=31 search 42.8 s →
+    #: 11.4 s). Scan scores are f32-grade under the default full-fidelity /
+    #: high-precision scans (≥99.5% id agreement, ≤2e-3 relative distance
+    #: error — regression-tested), which graph building + bandwidth
+    #: calibration absorb; hence False HERE (the estimator graph path),
+    #: while the raw ``ivf_knn`` API keeps exactness-first rerank=True.
+    rerank: bool = False
 
     def __post_init__(self):
         if self.mode not in ("exact", "approx", "ivf"):

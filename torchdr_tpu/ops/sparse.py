@@ -39,6 +39,10 @@ def symmetric_degrees(indices: jnp.ndarray) -> jnp.ndarray:
     return out_deg + in_deg
 
 
+#: auto-k_out memory guard: ~256M entries ≈ 1 GB f32 + 1 GB int32 output
+_AUTO_KOUT_BUDGET_ENTRIES = 256 * 1024 * 1024
+
+
 def symmetrize_sparse(
     values: jnp.ndarray,
     indices: jnp.ndarray,
@@ -71,6 +75,23 @@ def symmetrize_sparse(
     if k_out is None:
         max_deg = int(jnp.max(symmetric_degrees(indices)))
         k_out = max(8, -(-max_deg // 8) * 8)
+        # Memory guard for the auto width: hub in-degree grows unbounded
+        # with n, and the (n, k_out) output pair costs 8·n·k_out bytes.
+        # Cap at ~256M entries (1 GB f32 + 1 GB int32), dropping only the
+        # WEAKEST edges of hub rows (the packing already orders by value).
+        cap = max(
+            8, (_AUTO_KOUT_BUDGET_ENTRIES // max(1, values.shape[0])) // 8 * 8
+        )
+        if k_out > cap:
+            import warnings
+
+            warnings.warn(
+                f"[TorchDR-TPU] symmetric degree {max_deg} exceeds the "
+                f"auto width budget at n={values.shape[0]}; capping k_out "
+                f"at {cap} (weakest hub edges dropped). Pass k_out to "
+                "override."
+            )
+            k_out = cap
     return _symmetrize_sparse_impl(values, indices, mode, k_out)
 
 
@@ -144,16 +165,23 @@ def _symmetrize_sparse_impl(
     )
     slot = head_rank - row_start[jnp.clip(er, 0, n - 1)]
 
-    flat_pos = jnp.where(
-        is_head & (slot < k_out), er * k_out + slot, n * k_out
-    )  # overflow slot n*k_out is a dump cell
-    out_vals = jnp.zeros((n * k_out + 1,), values.dtype).at[flat_pos].set(
-        jnp.where(is_head, v_comb, 0.0)
+    # 2D scatter with a dump ROW (row n): a flattened er*k_out+slot index
+    # overflows int32 once n·k_out > 2³¹ (hit at 1.3M with an uncapped
+    # hub-degree k_out), and x64 is off on TPU.
+    keep = is_head & (slot < k_out)
+    row_t = jnp.where(keep, er, n)
+    col_t = jnp.where(keep, jnp.maximum(slot, 0), 0)
+    out_vals = (
+        jnp.zeros((n + 1, k_out), values.dtype)
+        .at[row_t, col_t]
+        .set(jnp.where(keep, v_comb, 0.0))
     )
-    out_idx = jnp.full((n * k_out + 1,), -1, indices.dtype).at[flat_pos].set(
-        jnp.where(is_head, ec.astype(indices.dtype), -1)
+    out_idx = (
+        jnp.full((n + 1, k_out), -1, indices.dtype)
+        .at[row_t, col_t]
+        .set(jnp.where(keep, ec.astype(indices.dtype), -1))
     )
-    return out_vals[:-1].reshape(n, k_out), out_idx[:-1].reshape(n, k_out)
+    return out_vals[:-1], out_idx[:-1]
 
 
 def sparse_to_dense(values: jnp.ndarray, indices: jnp.ndarray, n_cols: int) -> jnp.ndarray:
