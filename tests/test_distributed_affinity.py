@@ -139,7 +139,7 @@ class TestKnnConfigHonored:
         X = rng.normal(size=(256, 8)).astype(np.float32)
         cfg = KnnConfig(
             mode="ivf", nprobe=3, n_clusters=4, budget=6, merge="exact",
-            ivf_block=128, rerank=False,
+            ivf_block=128, rerank=False, m=12,
         )
         aff = UMAPAffinity(n_neighbors=8, knn_mode=cfg)
         aff(X)
@@ -148,6 +148,7 @@ class TestKnnConfigHonored:
         assert seen["merge"] == "exact"
         assert seen["block"] == 128
         assert seen["rerank"] is False
+        assert seen["m"] == 12
 
     def test_bad_merge_rejected(self):
         from torchdr_tpu.ops.knn_config import KnnConfig

@@ -42,6 +42,14 @@ class KnnConfig:
     budget: Optional[int] = None
     #: IVF merge stage: None → index-aware auto; "approx" | "exact" | "tournament"
     merge: Optional[str] = None
+    #: IVF selection margin (survivors kept per query before the output's
+    #: first-k). None → auto: re-rank margin when rerank=True, exactly k
+    #: when rerank=False. Under rerank=False an explicit small margin is
+    #: the recall lever: selection keeps m scan-score survivors and the
+    #: output takes the best k, recovering approx_min_k binning losses
+    #: without the survivor row gather (1M×128: m=k 99.18% → m=24 99.85%
+    #: at +0.5 s, vs re-rank's 99.96% at +0.9 s — _ivf1m_r3f/g.py).
+    m: Optional[int] = None
     #: IVF query-block rows (None → the tuned default, 256). ``block_size``
     #: governs the exact/approx tiers only — the IVF probe kernel's block is
     #: a separate MXU-shape knob.
