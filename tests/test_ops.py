@@ -417,6 +417,43 @@ class TestIVF:
 
         assert auto_nlist(1_000_000) > 100
 
+    def test_tight_budget_rank_order_recall(self):
+        """Under a budget too small for the probed cells, the rank-major
+        expansion (near cells keep full depth, far cells lose theirs)
+        must beat the legacy depth-major round-robin, whose cut loses a
+        random row fraction of EVERY probed cell (the 10M budget=70
+        recall drop, ROUND3_STATUS). With a full budget both orders
+        select the same slot set."""
+        from torchdr_tpu.ops.ivf import ivf_build, ivf_knn
+
+        rng = np.random.default_rng(3)
+        centers = rng.normal(scale=8.0, size=(12, 16)).astype(np.float32)
+        n = 6000
+        X = jnp.asarray(
+            centers[rng.integers(0, 12, n)]
+            + rng.normal(size=(n, 16)).astype(np.float32)
+        )
+        _, i0 = knn_graph(X, k=10)
+        index = ivf_build(X, n_clusters=48, kmeans_iters=8, chunk=64)
+        i0n = np.asarray(i0)
+
+        def rec(i1):
+            i1n = np.asarray(i1)
+            return np.mean(
+                [len(set(i0n[j]) & set(i1n[j])) / 10 for j in range(n)]
+            )
+
+        kw = dict(k=10, nprobe=8, index=index, merge="exact")
+        # tight budget: ~2/3 of what nprobe=8 cells need at this geometry
+        r_rank = rec(ivf_knn(None, budget=16, budget_order="rank", **kw)[1])
+        r_depth = rec(ivf_knn(None, budget=16, budget_order="depth", **kw)[1])
+        assert r_rank > r_depth
+        assert r_rank > 0.8
+        # full budget: identical results regardless of expansion order
+        _, if_r = ivf_knn(None, budget_order="rank", **kw)
+        _, if_d = ivf_knn(None, budget_order="depth", **kw)
+        assert np.array_equal(np.asarray(if_r), np.asarray(if_d))
+
     def test_host_build_matches_device_build(self):
         """numpy-X builds (zero dataset pulls over the host link) must give
         the same index and search results as device-array builds."""

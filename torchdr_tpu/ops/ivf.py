@@ -595,7 +595,7 @@ def _ivf_search_impl(
     Qs, q_rows, index_arrays, k, ncells, budget, block, chunk, m, scan_precision,
     scan_impl="xla", merge="approx", max_ch=None, Qs_lo=None, pos0=0,
     scan_fidelity="full", n_supers=0, queries_raw=False, nominate="flat",
-    q_cells=None, rerank=True,
+    q_cells=None, rerank=True, budget_order="rank",
 ):
     """The probe kernel. See the module docstring for the design rationale.
 
@@ -792,21 +792,39 @@ def _ivf_search_impl(
             cells_valid = jnp.ones((ncells,), bool)
             gq_cells = jnp.take(gq, cells, axis=1)
 
-        # Expand vote-ordered cells into `budget` chunk slots, round-robin:
-        # the top-voted cell (the block's home cell) gets ALL its chunks
-        # first, then every other cell's 1st chunk, 2nd chunk, … — so a
-        # tight budget truncates the deep tails of big low-priority cells
-        # instead of dropping whole cells. All in (ncells · max_ch)-sized
-        # index arithmetic; every scanned slot is productive.
+        # Expand vote-ordered cells into `budget` chunk slots. The home
+        # cell (vote rank 0) gets ALL its chunks first, then every other
+        # cell's 1st chunk in vote order (each probed cell is represented).
+        # Remaining depth is ordered per ``budget_order``:
+        #   "rank"  (default): rank-major — near cells get their FULL depth
+        #     before far cells get any more, so a tight budget degrades
+        #     like a smoothly lowered nprobe. Cell rows are in arbitrary
+        #     original order, so the depth-major alternative's cut loses a
+        #     random fraction of EVERY probed cell's rows — measured as the
+        #     10M budget=70 recall drop to 99.46% (ROUND3_STATUS).
+        #   "depth": the legacy round-robin (1st chunks, 2nd chunks, …).
+        # All in (ncells · max_ch)-sized index arithmetic; every scanned
+        # slot is productive.
         cnts = jnp.where(cells_valid, counts[cells], 0)   # (ncells,)
         nch = (cnts + (chunk - 1)) // chunk               # chunks per cell
         ci_g = jnp.tile(jnp.arange(ncells, dtype=jnp.int32), max_ch)
         w_g = jnp.repeat(jnp.arange(max_ch, dtype=jnp.int32), ncells)
         live = w_g < nch[ci_g]
-        # priority: home cell (ci==0) first, then (chunk depth, vote rank)
-        prio = jnp.where(
-            ci_g == 0, w_g, max_ch + w_g * ncells + ci_g
-        )
+        if budget_order == "rank":
+            prio = jnp.where(
+                ci_g == 0,
+                w_g,
+                jnp.where(
+                    w_g == 0,
+                    max_ch + ci_g,
+                    max_ch + ncells + ci_g * max_ch + w_g,
+                ),
+            )
+        else:
+            # priority: home cell first, then (chunk depth, vote rank)
+            prio = jnp.where(
+                ci_g == 0, w_g, max_ch + w_g * ncells + ci_g
+            )
         prio = jnp.where(live, prio, jnp.iinfo(jnp.int32).max)
         order = jnp.argsort(prio)[:budget]                # tiny sort
         sel_ci = ci_g[order]
@@ -1021,7 +1039,7 @@ _ivf_search = functools.partial(
     static_argnames=(
         "k", "ncells", "budget", "block", "chunk", "m", "scan_precision", "scan_impl",
         "merge", "max_ch", "scan_fidelity", "n_supers", "queries_raw",
-        "nominate", "rerank",
+        "nominate", "rerank", "budget_order",
     ),
 )(_ivf_search_impl)
 
@@ -1138,6 +1156,7 @@ def ivf_knn(
     nprobe_supers: int | None = None,
     nomination: str | None = None,
     rerank: bool = True,
+    budget_order: str = "rank",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Approximate self-kNN of X through an IVF index.
 
@@ -1252,14 +1271,14 @@ def ivf_knn(
                 Q_seg, r_seg, arrays, k, nprobe, budget, block, chunk, m_eff,
                 scan_precision, scan_impl, merge, max_ch, Ql_seg,
                 jnp.asarray(a, jnp.int32), scan_fidelity, n_supers,
-                False, nominate, rerank=rerank,
+                False, nominate, rerank=rerank, budget_order=budget_order,
             )
             out_d, out_i = _scatter_out_jit(out_d, out_i, sid, ds, is_)
         return out_d[:n], out_i[:n]
     d, i = _ivf_search(
         Qs, q_rows, arrays, k, nprobe, budget, block, chunk, m_eff,
         scan_precision, scan_impl, merge, max_ch, Qs_lo, 0, scan_fidelity,
-        n_supers, False, nominate, rerank=rerank,
+        n_supers, False, nominate, rerank=rerank, budget_order=budget_order,
     )
     d = d.reshape(-1, k)
     i = i.reshape(-1, k)
@@ -1295,6 +1314,7 @@ def ivf_knn_queries(
     nomination: str | None = None,
     sort_queries: bool = True,
     rerank: bool = True,
+    budget_order: str = "rank",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """kNN of arbitrary query rows against a prebuilt IVF index.
 
@@ -1375,7 +1395,7 @@ def ivf_knn_queries(
             Q_seg, e_seg, arrays, k, nprobe, budget, block, chunk, m_eff,
             scan_precision, scan_impl, merge, max_ch, None,
             jnp.asarray(0, jnp.int32), scan_fidelity, n_supers, True,
-            nominate, c_seg, rerank=rerank,
+            nominate, c_seg, rerank=rerank, budget_order=budget_order,
         )
         d_parts.append(ds.reshape(-1, k))
         i_parts.append(is_.reshape(-1, k))

@@ -19,6 +19,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 
 @jax.jit
@@ -72,8 +73,8 @@ def symmetrize_sparse(
     -------
     (values_out, indices_out) of shape (n, k_out), padded with 0 / -1.
     """
+    max_deg = int(jnp.max(symmetric_degrees(indices)))
     if k_out is None:
-        max_deg = int(jnp.max(symmetric_degrees(indices)))
         k_out = max(8, -(-max_deg // 8) * 8)
         # Memory guard for the auto width: hub in-degree grows unbounded
         # with n, and the (n, k_out) output pair costs 8·n·k_out bytes.
@@ -92,12 +93,22 @@ def symmetrize_sparse(
                 "override."
             )
             k_out = cap
-    return _symmetrize_sparse_impl(values, indices, mode, k_out)
+    # Value-priority packing (strongest edges first) costs a second full
+    # edge-list sort; it only CHANGES the result when some row overflows
+    # k_out. Skip it otherwise — at 1.3M×30 the symmetrize is sort-bound
+    # (~20 s warm) and the common uncapped case halves.
+    return _symmetrize_sparse_impl(
+        values, indices, mode, k_out, value_order=k_out < max_deg
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "k_out"))
+@functools.partial(jax.jit, static_argnames=("mode", "k_out", "value_order"))
 def _symmetrize_sparse_impl(
-    values: jnp.ndarray, indices: jnp.ndarray, mode: str, k_out: int
+    values: jnp.ndarray,
+    indices: jnp.ndarray,
+    mode: str,
+    k_out: int,
+    value_order: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     if mode not in ("sum", "sum_minus_prod"):
         raise ValueError(f"Unsupported mode {mode!r}")
@@ -122,11 +133,14 @@ def _symmetrize_sparse_impl(
         [jnp.ones_like(v, dtype=bool), jnp.zeros_like(v, dtype=bool)]
     )
 
-    # Lexicographic (row, col) order via two stable argsorts.
-    o1 = jnp.argsort(ec, stable=True)
-    er, ec, vals, is_P = er[o1], ec[o1], vals[o1], is_P[o1]
-    o2 = jnp.argsort(er, stable=True)
-    er, ec, vals, is_P = er[o2], ec[o2], vals[o2], is_P[o2]
+    # Lexicographic (row, col) order in ONE multi-operand sort: payloads
+    # ride the sort network instead of being re-gathered per argsort (the
+    # argsort-chain formulation was 4 sorts + 12 full-size gathers over
+    # the 2nk edge list — sort-bound at 1.3M×30).
+    er, ec, vals, is_P = lax.sort(
+        (er, ec, vals, is_P.astype(jnp.int32)), num_keys=2
+    )
+    is_P = is_P.astype(bool)
 
     m = er.shape[0]  # 2nk, static
     prev_r = jnp.concatenate([jnp.full((1,), -1, er.dtype), er[:-1]])
@@ -148,14 +162,18 @@ def _symmetrize_sparse_impl(
 
     # Pack heads row-wise, strongest value first: when k_out caps the
     # width, overflow drops the WEAKEST edges of hub rows (an arbitrary
-    # column-order drop measurably hurts hub-heavy high-d graphs). Two
-    # stable argsorts put heads in (row, -value) order; non-heads sort
-    # behind every head of their row.
-    sort_v = jnp.where(is_head, -v_comb, jnp.inf)
-    o3 = jnp.argsort(sort_v, stable=True)
-    er2, ec2, v2, is_head2 = er[o3], ec[o3], v_comb[o3], is_head[o3]
-    o4 = jnp.argsort(jnp.where(is_head2, er2, n), stable=True)
-    er, ec, v_comb, is_head = er2[o4], ec2[o4], v2[o4], is_head2[o4]
+    # column-order drop measurably hurts hub-heavy high-d graphs). One
+    # (row, -value) lexicographic sort; non-heads sort behind every head.
+    # When no row can overflow (value_order=False) heads are already
+    # grouped by row from the first sort — skip the second sort entirely.
+    if value_order:
+        row_key = jnp.where(is_head, er, n)
+        val_key = jnp.where(is_head, -v_comb, jnp.inf)
+        _, _, er, ec, v_comb, is_head = lax.sort(
+            (row_key, val_key, er, ec, v_comb, is_head.astype(jnp.int32)),
+            num_keys=2,
+        )
+        is_head = is_head.astype(bool)
 
     head_rank = jnp.cumsum(is_head.astype(jnp.int32)) - 1  # rank among heads
     # First head rank per row (scatter-min).

@@ -72,9 +72,10 @@ def distributed_symmetrize_sparse(
         dest = jnp.where(valid, rank_of_rows(jnp.maximum(flat_cols, 0), n_pad, world), world)
 
         # Bucket edges per destination into fixed-size (world, m) buffers.
-        order = jnp.argsort(dest, stable=True)
-        dest_s, rows_s, cols_s, vals_s = (
-            dest[order], flat_rows[order], flat_cols[order], flat_vals[order],
+        # One multi-operand sort: payloads ride the sort network instead of
+        # three post-hoc gathers (same rewrite as ops/sparse).
+        dest_s, rows_s, cols_s, vals_s = lax.sort(
+            (dest, flat_rows, flat_cols, flat_vals), num_keys=1, is_stable=True
         )
         # slot within bucket via rank - first_rank_of_bucket
         pos = jnp.arange(m)
@@ -116,10 +117,11 @@ def distributed_symmetrize_sparse(
         t_local = jnp.where(t_valid, t_rows - row0, chunk)
 
         # per-local-row slot assignment for received edges
-        order2 = jnp.argsort(t_local, stable=True)
-        t_local, t_cols, t_vals, t_valid = (
-            t_local[order2], t_cols[order2], t_vals[order2], t_valid[order2],
+        t_local, t_cols, t_vals, t_valid = lax.sort(
+            (t_local, t_cols, t_vals, t_valid.astype(jnp.int32)),
+            num_keys=1, is_stable=True,
         )
+        t_valid = t_valid.astype(bool)
         pos2 = jnp.arange(t_local.shape[0])
         row_start = jnp.full((chunk + 1,), t_local.shape[0], jnp.int32)
         row_start = row_start.at[t_local].min(pos2.astype(jnp.int32))
