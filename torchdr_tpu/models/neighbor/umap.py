@@ -80,6 +80,7 @@ class UMAP(NegativeSamplingNeighborEmbedding):
         shared_negatives: bool = True,
         n_shared_negatives: Optional[int] = None,
         edge_groups: Union[int, str] = "auto",
+        edge_schedule: str = "auto",
         **kwargs,
     ):
         self.n_neighbors = n_neighbors
@@ -89,6 +90,7 @@ class UMAP(NegativeSamplingNeighborEmbedding):
         self.max_iter_affinity = max_iter_affinity
         self.negative_sample_rate = negative_sample_rate
         self.edge_groups = edge_groups
+        self.edge_schedule = edge_schedule
         self._eps = 1e-3
 
         if a is None or b is None:
@@ -202,6 +204,32 @@ class UMAP(NegativeSamplingNeighborEmbedding):
             return 4 if n >= 50_000 else 1
         return max(1, int(self.edge_groups))
 
+    def _edge_schedule_for(self, n: int) -> str:
+        """Resolve ``edge_schedule="auto"``.
+
+        ``"bands"``: power-of-two band scheduling — edge (i, j) with fire
+        period eps is visited every 2^band steps, band = floor(log2(eps)),
+        so the expected gathered-edge count per step is Σ_b W_b/2^b instead
+        of the full width (the reference's per-edge duty cycle, made
+        static-shape via a ``lax.switch`` over band-prefix widths). Strong
+        edges are visited EVERY step (no G-rotation catch-up bursts on the
+        neighbor mass), weak edges amortize to near-zero gather cost. Used
+        at n ≥ 50k where the index-bound ``Z[NN]`` gather dominates the
+        step (measured 252 of 283 ms/iter at 1.3M, ROUND3_STATUS).
+        ``"groups"``: round-robin column rotation (round-2 design, kept
+        for A/B). ``"exact"``: visit every edge every step.
+        """
+        if self.edge_schedule == "auto":
+            if self.edge_groups != "auto":
+                return "groups" if self._edge_groups_for(n) > 1 else "exact"
+            return "bands" if n >= 50_000 else "exact"
+        if self.edge_schedule not in ("bands", "groups", "exact"):
+            raise ValueError(
+                f"[TorchDR-TPU] ERROR : unknown edge_schedule "
+                f"'{self.edge_schedule}' (bands | groups | exact | auto)."
+            )
+        return self.edge_schedule
+
     def _shared_negative_count(self, n: int) -> int:
         if self.n_shared_negatives is not None:
             return int(self.n_shared_negatives)
@@ -212,12 +240,60 @@ class UMAP(NegativeSamplingNeighborEmbedding):
             return 512
         return super()._shared_negative_count(n)
 
+    #: number of power-of-two bands; the weakest band is visited every
+    #: 2^(N_BANDS-1) = 64 steps, bounding its per-step cost at W/64.
+    _N_BANDS = 7
+
     def _build_consts(self, X):
         consts = super()._build_consts(X)
         P = self.affinity_in_
         NN = jnp.asarray(self.NN_indices_)
 
-        G = self._edge_groups_for(P.shape[0])
+        sched = self._edge_schedule_for(P.shape[0])
+        consts["edge_schedule"] = sched
+        if sched == "bands":
+            A_max = jnp.max(P)
+            threshold = A_max / self.max_iter
+            small = P <= threshold  # also covers the -1 padding slots (P == 0)
+            eps_per_sample = jnp.where(small, jnp.inf, A_max / (P + 1e-3))
+            # Per-row sort by fire period ascending: band b then occupies a
+            # row prefix, so "visit bands ≤ z" is a rectangular prefix slice.
+            order = jnp.argsort(eps_per_sample, axis=1, stable=True)
+            eps_per_sample = jnp.take_along_axis(eps_per_sample, order, axis=1)
+            P = jnp.take_along_axis(P, order, axis=1)
+            NN = jnp.take_along_axis(NN, order, axis=1)
+            consts["P"] = P
+            consts["NN"] = NN
+            consts["epochs_per_sample"] = eps_per_sample
+            band = jnp.clip(
+                jnp.floor(jnp.log2(jnp.maximum(eps_per_sample, 1.0))),
+                0,
+                self._N_BANDS - 1,
+            )
+            band = jnp.where(jnp.isfinite(eps_per_sample), band, self._N_BANDS - 1)
+            W_full = P.shape[1]
+            widths = []
+            for z in range(self._N_BANDS):
+                w = int(jnp.max(jnp.sum(band <= z, axis=1)))
+                w = min(W_full, max(8, -(-w // 8) * 8))
+                if widths:
+                    w = max(w, widths[-1])
+                widths.append(w)
+            widths[-1] = W_full  # never-firing pads ride the last prefix
+            consts["band_widths"] = tuple(widths)
+            consts["edge_groups_G"] = 1
+            consts["edge_group_width"] = 1  # active_edges carries row sums
+            if self.verbose:
+                exp_w = sum(
+                    widths[z] * (2.0 ** -(z + 1)) for z in range(self._N_BANDS - 1)
+                ) + widths[-1] * 2.0 ** -(self._N_BANDS - 1)
+                self.logger.info(
+                    f"Band schedule widths {widths} "
+                    f"(expected gather width/step {exp_w:.1f} of {W_full})."
+                )
+            return consts
+
+        G = self._edge_groups_for(P.shape[0]) if sched == "groups" else 1
         consts["edge_groups_G"] = G
         W = P.shape[1]
         if G > 1:
@@ -262,7 +338,81 @@ class UMAP(NegativeSamplingNeighborEmbedding):
 
     # --- closed-form gradients (reference: umap.py:236-292) ---
 
+    def _attr_core(self, Z, NN, eps, eons, it):
+        """Closed-form attraction over one (n, W) edge slice.
+
+        Returns (grad, advanced eons, per-edge fire counts c). Exact for ANY
+        visit schedule: fires missed since the last visit are applied as one
+        catch-up burst whose integrated impulse matches the reference's
+        every-step schedule (reference: umap.py:251-256).
+        """
+        # Gathers dominate this step on TPU (random 8-byte rows); gather the
+        # neighbor embeddings ONCE and derive distances from the same buffer.
+        diff = Z[:, None, :] - Z[jnp.maximum(NN, 0)]
+        D = jnp.sum(diff * diff, axis=-1)
+        positive = D > 0
+        # single pow: D^(b-1) = D^b / D
+        t = D**self._b
+        coef = 2.0 * self._a * self._b * t / (
+            jnp.maximum(D, 1e-20) * (1.0 + self._a * t)
+        )
+        coef = jnp.where(positive, coef, 0.0)
+
+        now = jnp.asarray(it + 1, eons.dtype)
+        due = now - eons
+        c = jnp.where(due >= 0, jnp.floor(due / eps) + 1.0, 0.0)
+        c = jnp.where(jnp.isfinite(eps), c, 0.0)
+        eons = eons + c * eps
+        coef = coef * c
+        grad = jnp.clip(jnp.einsum("ijk,ij->ik", diff, coef), -4.0, 4.0)
+        return grad, eons, c
+
+    def _attractive_gradients_bands(self, Z, consts, carry, it):
+        """Band-scheduled attraction: step t visits the row prefix holding
+        every band b with t % 2^b == 0 — i.e. prefix width
+        band_widths[trailing_zeros(t)] — via a ``lax.switch`` over the
+        static prefix widths. Expected gathered-edge count per step is
+        Σ_b W_b/2^b instead of the full width; strong edges (band 0) are
+        visited every step so the neighbor mass sees no burst quantization.
+        """
+        widths = consts["band_widths"]
+        NN_full = consts["NN"]
+        eps_full = consts["epochs_per_sample"]
+        eons_full = carry["epoch_of_next_sample"]
+        n = NN_full.shape[0]
+
+        uniq = sorted(set(widths))
+        z_to_branch = jnp.asarray([uniq.index(w) for w in widths], jnp.int32)
+
+        def make_branch(Wz):
+            def branch(Z, eons_full):
+                NN = lax.slice(NN_full, (0, 0), (n, Wz))
+                eps = lax.slice(eps_full, (0, 0), (n, Wz))
+                eons = lax.slice(eons_full, (0, 0), (n, Wz))
+                grad, eons_new, c = self._attr_core(Z, NN, eps, eons, it)
+                return (
+                    grad,
+                    lax.dynamic_update_slice(eons_full, eons_new, (0, 0)),
+                    jnp.sum(c, axis=1),
+                )
+
+            return branch
+
+        it32 = jnp.asarray(it, jnp.int32)
+        # trailing zeros; it=0 -> popcount(-1) = 32 -> capped to the last band
+        tz = lax.population_count(jnp.bitwise_and(it32, -it32) - 1)
+        z = jnp.minimum(tz, len(widths) - 1)
+        grad, eons_full, fires = lax.switch(
+            z_to_branch[z], [make_branch(w) for w in uniq], Z, eons_full
+        )
+        carry = dict(
+            carry, epoch_of_next_sample=eons_full, active_edges=fires[:, None]
+        )
+        return grad, carry
+
     def _attractive_gradients(self, Z, consts, carry, it, key):
+        if consts.get("edge_schedule") == "bands":
+            return self._attractive_gradients_bands(Z, consts, carry, it)
         G = consts["edge_groups_G"]
         W = consts["edge_group_width"]
         eons_full = carry["epoch_of_next_sample"]
@@ -277,30 +427,11 @@ class UMAP(NegativeSamplingNeighborEmbedding):
         else:
             NN, eons, eps = consts["NN"], eons_full, eps_full
 
-        # Gathers dominate this step on TPU (random 8-byte rows); gather the
-        # neighbor embeddings ONCE and derive distances from the same buffer.
-        diff = Z[:, None, :] - Z[jnp.maximum(NN, 0)]
-        D = jnp.sum(diff * diff, axis=-1)
-        positive = D > 0
-        # single pow: D^(b-1) = D^b / D
-        t = D**self._b
-        coef = 2.0 * self._a * self._b * t / (
-            jnp.maximum(D, 1e-20) * (1.0 + self._a * t)
-        )
-        coef = jnp.where(positive, coef, 0.0)
-
         # Per-edge update schedule: stronger edges fire more often. With
         # edge groups, fires missed since the last visit are applied as one
         # catch-up burst of count c = #{due fire events} — the integrated
         # impulse matches the reference's every-step schedule exactly.
-        now = jnp.asarray(it + 1, eons.dtype)
-        due = now - eons
-        c = jnp.where(due >= 0, jnp.floor(due / eps) + 1.0, 0.0)
-        c = jnp.where(jnp.isfinite(eps), c, 0.0)
-        eons = eons + c * eps
-        coef = coef * c
-
-        grad = jnp.clip(jnp.einsum("ijk,ij->ik", diff, coef), -4.0, 4.0)
+        grad, eons, c = self._attr_core(Z, NN, eps, eons, it)
         if G > 1:
             eons_full = lax.dynamic_update_slice(eons_full, eons, (0, g * W))
         else:

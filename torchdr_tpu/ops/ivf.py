@@ -595,7 +595,7 @@ def _ivf_search_impl(
     Qs, q_rows, index_arrays, k, ncells, budget, block, chunk, m, scan_precision,
     scan_impl="xla", merge="approx", max_ch=None, Qs_lo=None, pos0=0,
     scan_fidelity="full", n_supers=0, queries_raw=False, nominate="flat",
-    q_cells=None, rerank=True, budget_order="rank",
+    q_cells=None, rerank=True, budget_order="depth",
 ):
     """The probe kernel. See the module docstring for the design rationale.
 
@@ -796,13 +796,17 @@ def _ivf_search_impl(
         # cell (vote rank 0) gets ALL its chunks first, then every other
         # cell's 1st chunk in vote order (each probed cell is represented).
         # Remaining depth is ordered per ``budget_order``:
-        #   "rank"  (default): rank-major — near cells get their FULL depth
-        #     before far cells get any more, so a tight budget degrades
-        #     like a smoothly lowered nprobe. Cell rows are in arbitrary
-        #     original order, so the depth-major alternative's cut loses a
-        #     random fraction of EVERY probed cell's rows — measured as the
-        #     10M budget=70 recall drop to 99.46% (ROUND3_STATUS).
-        #   "depth": the legacy round-robin (1st chunks, 2nd chunks, …).
+        #   "depth" (default): round-robin (1st chunks, 2nd chunks, …) —
+        #     a tight budget loses a random row fraction of every probed
+        #     cell. Measured BEST at 10M geometry: budget=70 recall 99.46%
+        #     vs rank's 99.21%, budget=128 99.97% vs rank's 99.69%
+        #     (ROUND3_STATUS r3k sweep) — when cells span many chunks the
+        #     far cells' first chunks carry more neighbor mass than the
+        #     near cells' deep tails.
+        #   "rank": rank-major — near cells get their FULL depth before
+        #     far cells get any more. Wins at FEW-chunks-per-cell
+        #     geometries (CPU test: 0.8734 vs 0.8476 at 2/3 budget);
+        #     loses at 10M. Opt-in.
         # All in (ncells · max_ch)-sized index arithmetic; every scanned
         # slot is productive.
         cnts = jnp.where(cells_valid, counts[cells], 0)   # (ncells,)
@@ -1156,7 +1160,7 @@ def ivf_knn(
     nprobe_supers: int | None = None,
     nomination: str | None = None,
     rerank: bool = True,
-    budget_order: str = "rank",
+    budget_order: str = "depth",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Approximate self-kNN of X through an IVF index.
 
@@ -1314,7 +1318,7 @@ def ivf_knn_queries(
     nomination: str | None = None,
     sort_queries: bool = True,
     rerank: bool = True,
-    budget_order: str = "rank",
+    budget_order: str = "depth",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """kNN of arbitrary query rows against a prebuilt IVF index.
 
