@@ -173,13 +173,29 @@ class TestBandSchedule:
         X, y = blobs
         m = tdr.UMAP(n_neighbors=12, max_iter=100, random_state=0,
                      edge_schedule="bands")
-        m.fit(X)  # populates affinity then consts in the fit; rebuild consts
-        # rebuild consts directly to inspect the static band layout
-        m._fit_mesh_ = None
-        # re-run the affinity-dependent pieces on the stored state
-        Xj = jnp.asarray(X)
-        Z = m.fit_transform(Xj)
-        assert np.isfinite(np.asarray(Z)).all()
+        m.clear_memory = lambda: None  # keep affinity_in_/NN_indices_ alive
+        m.fit(X)  # populates affinity_in_ / NN_indices_
+        consts = m._build_consts(jnp.asarray(X))
+        widths = consts["band_widths"]
+        W_full = consts["P"].shape[1]
+        # monotone non-decreasing, 8-aligned (except the final full width),
+        # last prefix covers every column
+        assert len(widths) == m._N_BANDS
+        assert all(widths[z] <= widths[z + 1] for z in range(len(widths) - 1))
+        assert all(w % 8 == 0 or w == W_full for w in widths)
+        assert widths[-1] == W_full
+        # every edge's band lies inside its prefix: band b edges occupy
+        # columns < widths[b] after the per-row eps sort
+        eps = np.asarray(consts["epochs_per_sample"])
+        band = np.where(
+            np.isfinite(eps),
+            np.clip(np.floor(np.log2(np.maximum(eps, 1.0))), 0, m._N_BANDS - 1),
+            m._N_BANDS - 1,
+        ).astype(int)
+        cols = np.arange(eps.shape[1])[None, :]
+        for z in range(m._N_BANDS):
+            in_prefix = cols < widths[z]
+            assert np.all(in_prefix | (band > z)), f"band {z} escapes its prefix"
 
     def test_visit_schedule_total_impulse(self):
         """Simulate the per-edge carry over T steps under band visits and

@@ -40,6 +40,16 @@ def main(argv=None):
 
     info_p = sub.add_parser("info", help="Print device/mesh information.")
 
+    bench_p = sub.add_parser(
+        "bench", help="Run the repo headline benchmark (bench.py)."
+    )
+    bench_p.add_argument(
+        "--path",
+        default=None,
+        help="Path to a bench script (default: bench.py next to the package root, "
+        "then ./bench.py).",
+    )
+
     args = parser.parse_args(argv)
 
     if args.command == "info":
@@ -48,6 +58,24 @@ def main(argv=None):
         print(f"jax {jax.__version__}")
         print(f"devices: {jax.devices()}")
         return 0
+
+    if args.command == "bench":
+        if args.path:
+            # An explicit path is authoritative: do not fall back silently.
+            candidates = [args.path]
+        else:
+            here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            candidates = [
+                os.path.join(here, "bench.py"),
+                os.path.join(os.getcwd(), "bench.py"),
+            ]
+        for cand in candidates:
+            if cand and os.path.isfile(cand):
+                sys.argv = [cand]
+                runpy.run_path(cand, run_name="__main__")
+                return 0
+        print("bench.py not found; pass --path", file=sys.stderr)
+        return 1
 
     if args.command == "run":
         if args.virtual_cpu_devices:

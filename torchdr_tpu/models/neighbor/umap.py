@@ -228,6 +228,16 @@ class UMAP(NegativeSamplingNeighborEmbedding):
                 f"[TorchDR-TPU] ERROR : unknown edge_schedule "
                 f"'{self.edge_schedule}' (bands | groups | exact | auto)."
             )
+        if self.edge_schedule != "groups" and self.edge_groups != "auto":
+            import warnings
+
+            warnings.warn(
+                f"[TorchDR-TPU] edge_groups={self.edge_groups!r} is ignored "
+                f"with edge_schedule='{self.edge_schedule}' (groups only "
+                f"apply to the 'groups' schedule).",
+                UserWarning,
+                stacklevel=2,
+            )
         return self.edge_schedule
 
     def _shared_negative_count(self, n: int) -> int:
@@ -362,7 +372,10 @@ class UMAP(NegativeSamplingNeighborEmbedding):
         due = now - eons
         c = jnp.where(due >= 0, jnp.floor(due / eps) + 1.0, 0.0)
         c = jnp.where(jnp.isfinite(eps), c, 0.0)
-        eons = eons + c * eps
+        # Masked advance: dead edges (eps=inf, c=0) must stay at eons=inf —
+        # an unmasked `c * eps` is 0*inf = NaN, poisoning the carry for any
+        # downstream consumer (diagnostics, checkpoint/resume).
+        eons = eons + jnp.where(c > 0, c * eps, 0.0)
         coef = coef * c
         grad = jnp.clip(jnp.einsum("ijk,ij->ik", diff, coef), -4.0, 4.0)
         return grad, eons, c
