@@ -177,3 +177,29 @@ class TestIncrementalPCAMesh:
         Z1 = np.abs(np.asarray(m.fit_transform(np.asarray(Xs))))
         Z2 = np.abs(np.asarray(tdr.PCA(n_components=3).fit_transform(X)))
         assert np.abs(Z1 - Z2).max() < 1e-2
+
+    def test_exact_ipca_explicit_mesh_psum(self, X):
+        """mesh= path: per-batch stats run as shard_map + psum over 8 devices
+        and must match the single-device result to 1e-5
+        (reference distributed path: incremental_pca.py:845-1090)."""
+        from torchdr_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(8)
+        m_mesh = tdr.ExactIncrementalPCA(n_components=3, batch_size=64, mesh=mesh)
+        Z_mesh = np.asarray(m_mesh.fit_transform(X))
+        m_one = tdr.ExactIncrementalPCA(n_components=3, batch_size=64)
+        Z_one = np.asarray(m_one.fit_transform(X))
+        assert np.abs(np.asarray(m_mesh.mean_) - np.asarray(m_one.mean_)).max() < 1e-5
+        assert np.abs(np.abs(Z_mesh) - np.abs(Z_one)).max() < 1e-5
+
+    def test_exact_ipca_set_fit_mesh_protocol(self, X):
+        """_set_fit_mesh after construction takes effect on the next fit."""
+        from torchdr_tpu.parallel.mesh import make_mesh
+
+        m = tdr.ExactIncrementalPCA(n_components=2, batch_size=50)
+        m._set_fit_mesh(make_mesh(8))
+        Z = np.asarray(m.fit_transform(X))
+        Z_ref = np.asarray(
+            tdr.ExactIncrementalPCA(n_components=2, batch_size=50).fit_transform(X)
+        )
+        assert np.abs(np.abs(Z) - np.abs(Z_ref)).max() < 1e-5

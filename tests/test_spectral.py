@@ -70,6 +70,27 @@ class TestKernelPCA:
         Z2 = np.abs(np.asarray(tdr.KernelPCA(n_components=2, solver="lobpcg", random_state=0).fit_transform(X)))
         assert np.abs(Z1 - Z2).max() < 1e-2
 
+    def test_lobpcg_mesh_matches_single_device(self):
+        """shard_map matvec over an 8-device mesh matches the single-device
+        matrix-free path (same operator, rows split across chips)."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        from torchdr_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(3)
+        X = rng.normal(size=(200, 8)).astype(np.float32)
+        Z1 = np.abs(np.asarray(
+            tdr.KernelPCA(n_components=2, solver="lobpcg", random_state=0).fit_transform(X)
+        ))
+        Z2 = np.abs(np.asarray(
+            tdr.KernelPCA(
+                n_components=2, solver="lobpcg", random_state=0, mesh=make_mesh(8)
+            ).fit_transform(X)
+        ))
+        assert np.abs(Z1 - Z2).max() < 1e-3
+
     def test_matfree_lobpcg_eigenpairs_match_dense(self):
         """Matrix-free streamed operator vs dense eigh at n=2k (≤1e-4)."""
         rng = np.random.default_rng(2)

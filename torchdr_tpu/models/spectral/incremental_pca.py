@@ -235,10 +235,17 @@ class ExactIncrementalPCA(DRModule):
     """Exact two-pass PCA accumulating XᵀX batch-wise.
 
     Pass 1 accumulates Σx and ΣXᵀX (device f32 Gram per batch, host f64
-    accumulation); eigendecomposition of the d×d covariance gives exact
-    components; pass 2 transforms batches. Mesh execution: shard rows and
-    the same accumulation becomes a psum (reference: incremental_pca.py:
-    600-1172 including its distributed all-reduce path).
+    accumulation of the reduced d/d² values); eigendecomposition of the
+    d×d covariance gives exact components; pass 2 transforms batches.
+
+    Mesh execution (``mesh=`` or ``_set_fit_mesh``): each batch is
+    row-sharded over the mesh and the per-batch Σx / XᵀX run as a
+    ``shard_map`` body — local partial sums followed by a ``psum`` over
+    the data axis — so the O(batch·d²) Gram work is split across chips
+    while the replicated (d,)/(d,d) results are still accumulated exactly
+    in host f64. Components come from one host eigh and are replicated
+    (the TPU analog of the reference's all-reduce + broadcast pipeline,
+    reference: torchdr/spectral_embedding/incremental_pca.py:845-1090).
     """
 
     def __init__(
@@ -248,6 +255,7 @@ class ExactIncrementalPCA(DRModule):
         device: str = "auto",
         verbose: bool = False,
         random_state: Optional[int] = None,
+        mesh=None,
         **kwargs,
     ):
         super().__init__(
@@ -259,8 +267,14 @@ class ExactIncrementalPCA(DRModule):
             **kwargs,
         )
         self.batch_size = batch_size
+        self.mesh = mesh
+        self._fit_mesh_ = mesh
         self.mean_ = None
         self.components_ = None
+
+    def _set_fit_mesh(self, mesh) -> None:
+        """Same mesh-injection protocol as the affinity classes."""
+        self._fit_mesh_ = mesh
 
     @staticmethod
     @jax.jit
@@ -272,6 +286,45 @@ class ExactIncrementalPCA(DRModule):
         )
         return s, g
 
+    @staticmethod
+    @functools.lru_cache(maxsize=8)
+    def _sharded_stats_fn(mesh):
+        """shard_map'd Σx / XᵀX with an explicit psum over the data axis."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+
+        def local(xl):
+            s = jnp.sum(xl, axis=0)
+            g = jnp.matmul(
+                xl.T, xl, preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            )
+            return lax.psum(s, axis), lax.psum(g, axis)
+
+        return jax.jit(
+            shard_map(
+                local, mesh=mesh, in_specs=P(axis, None), out_specs=(P(), P())
+            )
+        )
+
+    def _mesh_batch_stats(self, Xb: np.ndarray, mesh):
+        """Row-shard one batch over the mesh and reduce with psum.
+
+        Zero-padding rows to a multiple of the world size is exact for both
+        Σx and XᵀX (zero rows contribute nothing).
+        """
+        from ...parallel.mesh import pad_to_multiple, shard_rows
+
+        world = mesh.devices.size
+        n = Xb.shape[0]
+        n_pad = pad_to_multiple(max(n, world), world)
+        Xp = np.zeros((n_pad, Xb.shape[1]), np.float32)
+        Xp[:n] = Xb
+        Xp = shard_rows(jnp.asarray(Xp), mesh)
+        return self._sharded_stats_fn(mesh)(Xp)
+
     def fit(self, X, y=None):
         self.fit_transform(X, y)
         return self
@@ -282,8 +335,12 @@ class ExactIncrementalPCA(DRModule):
         total = 0
         sum_x = np.zeros(d, np.float64)
         gram = np.zeros((d, d), np.float64)
+        mesh = getattr(self, "_fit_mesh_", None)
         for b in batches:
-            s, g = self._batch_stats(jnp.asarray(b, jnp.float32))
+            if mesh is not None:
+                s, g = self._mesh_batch_stats(np.asarray(b, np.float32), mesh)
+            else:
+                s, g = self._batch_stats(jnp.asarray(b, jnp.float32))
             sum_x += np.asarray(s, np.float64)
             gram += np.asarray(g, np.float64)
             total += b.shape[0]

@@ -41,6 +41,12 @@ class KernelPCA(DRModule):
         Drop zero-eigenvalue components.
     solver : {"eigh", "lobpcg"}, default="eigh"
         "lobpcg" avoids the full O(n³) eigendecomposition for large n.
+    mesh : jax.sharding.Mesh, optional
+        When set (lobpcg matrix-free path only), the streamed matvec runs
+        as a ``shard_map`` body: each device owns a row chunk of the
+        kernel operator, computes its (chunk, n) block locally, and the
+        result rows are reassembled over the mesh — O(n/p · n) kernel
+        work per chip.
     """
 
     def __init__(
@@ -52,6 +58,7 @@ class KernelPCA(DRModule):
         random_state: Optional[int] = None,
         nodiag: bool = False,
         solver: str = "eigh",
+        mesh=None,
         **kwargs,
     ):
         super().__init__(
@@ -67,6 +74,7 @@ class KernelPCA(DRModule):
         )
         self.nodiag = nodiag
         self.solver = solver
+        self.mesh = mesh
 
     def _fit_transform(self, X: jnp.ndarray, y: Optional[Any] = None) -> jnp.ndarray:
         if self.solver == "lobpcg":
@@ -167,36 +175,91 @@ class KernelPCA(DRModule):
         cols = jnp.arange(n)
         _SHIFT = 1e-3  # PD shift: centered PSD kernel has eigvals ≥ 0
 
-        def block_rows(b):
-            Xb = lax.dynamic_slice_in_dim(Xp, b * block, block, axis=0)
+        def _kernel_block(Xb, row0):
+            """Kernel rows [row0, row0+block) against all n columns."""
             C = pairwise_block(Xb, X, metric)
             if sqrt_metric:
                 C = jnp.sqrt(jnp.maximum(C, 0.0))
             Kb = kern_fn(C)
             if zero_diag:
-                rows = b * block + jnp.arange(block)
+                rows = row0 + jnp.arange(Xb.shape[0])
                 Kb = jnp.where(rows[:, None] == cols[None, :], 0.0, Kb)
             return Kb
 
-        @jax.jit
-        def matvec(W):  # (n, k) → H K H W  (+ diagonal shift)
-            Wc = W - jnp.mean(W, axis=0, keepdims=True)
+        if self.mesh is not None:
+            # shard_map tier: each device owns a row chunk of the operator
+            # and streams its own (block, n) kernel sub-blocks — O(n/p · n)
+            # kernel work per chip, result rows reassembled over the mesh.
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
 
-            def body(b):
-                return jnp.matmul(
-                    block_rows(b), Wc, preferred_element_type=jnp.float32
-                )
+            from ...parallel.mesh import pad_to_multiple, shard_rows
 
-            U = lax.map(body, jnp.arange(n_pad // block)).reshape(-1, W.shape[1])[:n]
-            U = U - jnp.mean(U, axis=0, keepdims=True)
-            return U + _SHIFT * W
+            mesh = self.mesh
+            axis = mesh.axis_names[0]
+            world = int(mesh.devices.size)
+            block = min(block, -(-n // world))
+            n_pad = pad_to_multiple(n, world * block)
+            Xp = jnp.zeros((n_pad, X.shape[1]), X.dtype).at[:n].set(X)
+            chunk = n_pad // world
 
-        @jax.jit
-        def row_sums():
-            def body(b):
-                return jnp.sum(block_rows(b), axis=1)
+            def local_kw(Xl, Xg, Wc):
+                r0 = lax.axis_index(axis) * chunk
 
-            return lax.map(body, jnp.arange(n_pad // block)).reshape(-1)[:n]
+                def body(b):
+                    Xb = lax.dynamic_slice_in_dim(Xl, b * block, block, axis=0)
+                    return jnp.matmul(
+                        _kernel_block(Xb, r0 + b * block),
+                        Wc,
+                        preferred_element_type=jnp.float32,
+                    )
+
+                return lax.map(body, jnp.arange(chunk // block)).reshape(chunk, -1)
+
+            smap = shard_map(
+                local_kw,
+                mesh=mesh,
+                in_specs=(P(axis, None), P(), P()),
+                out_specs=P(axis, None),
+            )
+            Xp_sh = shard_rows(Xp, mesh)
+
+            @jax.jit
+            def matvec(W):  # (n, k) → H K H W  (+ diagonal shift)
+                Wc = W - jnp.mean(W, axis=0, keepdims=True)
+                U = smap(Xp_sh, X, Wc)[:n]
+                U = U - jnp.mean(U, axis=0, keepdims=True)
+                return U + _SHIFT * W
+
+            @jax.jit
+            def row_sums():  # K @ 1 over the mesh
+                return smap(Xp_sh, X, jnp.ones((n, 1), jnp.float32))[:n, 0]
+
+        else:
+
+            @jax.jit
+            def matvec(W):  # (n, k) → H K H W  (+ diagonal shift)
+                Wc = W - jnp.mean(W, axis=0, keepdims=True)
+
+                def body(b):
+                    Xb = lax.dynamic_slice_in_dim(Xp, b * block, block, axis=0)
+                    return jnp.matmul(
+                        _kernel_block(Xb, b * block),
+                        Wc,
+                        preferred_element_type=jnp.float32,
+                    )
+
+                U = lax.map(body, jnp.arange(n_pad // block)).reshape(-1, W.shape[1])[:n]
+                U = U - jnp.mean(U, axis=0, keepdims=True)
+                return U + _SHIFT * W
+
+            @jax.jit
+            def row_sums():
+                def body(b):
+                    Xb = lax.dynamic_slice_in_dim(Xp, b * block, block, axis=0)
+                    return jnp.sum(_kernel_block(Xb, b * block), axis=1)
+
+                return lax.map(body, jnp.arange(n_pad // block)).reshape(-1)[:n]
 
         # scalar normalization factor (global (0,1) logsumexp of log K):
         # a uniform 1/Z on the kernel ⇒ eigvecs unchanged, eigvals / Z
