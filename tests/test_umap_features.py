@@ -194,8 +194,17 @@ class TestBandSchedule:
         ).astype(int)
         cols = np.arange(eps.shape[1])[None, :]
         for z in range(m._N_BANDS):
-            in_prefix = cols < widths[z]
-            assert np.all(in_prefix | (band > z)), f"band {z} escapes its prefix"
+            # Widths are 0.98-quantiles of the per-row band counts (a max
+            # would let one hub row degenerate every prefix to full width);
+            # rows beyond the quantile have their over-width edges demoted
+            # to deeper bands (exact via catch-up bursts). Invariant: at
+            # most ~2% of rows may have band-z edges past prefix z.
+            escaped = np.any((cols >= widths[z]) & (band <= z), axis=1)
+            assert escaped.mean() <= 0.021, (
+                f"band {z}: {escaped.mean():.1%} of rows escape the prefix"
+            )
+        # the deepest prefix covers every edge
+        assert widths[-1] == eps.shape[1]
 
     def test_visit_schedule_total_impulse(self):
         """Simulate the per-edge carry over T steps under band visits and

@@ -121,7 +121,7 @@ class Affinity(BaseEstimator, ABC):
                     k=k, nprobe=cfg.nprobe, n_clusters=cfg.n_clusters,
                     exclude_self=self.zero_diag, budget=cfg.budget,
                     merge=cfg.merge, nomination=cfg.nomination,
-                    rerank=cfg.rerank, m=cfg.m,
+                    rerank=cfg.rerank, m=cfg.m, storage=cfg.storage,
                 )
                 if cfg.ivf_block is not None:
                     ivf_kwargs["block"] = int(cfg.ivf_block)

@@ -207,22 +207,23 @@ class UMAP(NegativeSamplingNeighborEmbedding):
     def _edge_schedule_for(self, n: int) -> str:
         """Resolve ``edge_schedule="auto"``.
 
-        ``"bands"``: power-of-two band scheduling — edge (i, j) with fire
-        period eps is visited every 2^band steps, band = floor(log2(eps)),
-        so the expected gathered-edge count per step is Σ_b W_b/2^b instead
-        of the full width (the reference's per-edge duty cycle, made
-        static-shape via a ``lax.switch`` over band-prefix widths). Strong
-        edges are visited EVERY step (no G-rotation catch-up bursts on the
-        neighbor mass), weak edges amortize to near-zero gather cost. Used
-        at n ≥ 50k where the index-bound ``Z[NN]`` gather dominates the
-        step (measured 252 of 283 ms/iter at 1.3M, ROUND3_STATUS).
-        ``"groups"``: round-robin column rotation (round-2 design, kept
-        for A/B). ``"exact"``: visit every edge every step.
+        ``"groups"`` (auto default at n ≥ 50k): round-robin column
+        rotation with exact catch-up bursts — measured fastest at every
+        scale. ``"bands"`` (opt-in): power-of-two band scheduling — edge
+        (i, j) with fire period eps is visited every 2^band steps,
+        band = floor(log2(eps)), so the expected gathered-edge count per
+        step is Σ_b W_b/2^b; strong edges are visited EVERY step (finest
+        temporal granularity on the neighbor mass). Round-4 A/B
+        (_umap_1p3m_bands.py, /tmp 60k sweep → docs/ROUND4_STATUS.md):
+        bands' ``lax.switch`` over band-prefix widths costs a 556 s cold
+        compile at 60k (4-7 big branch programs) and loses warm at both
+        scales (60k: 19.8 s vs groups4 11.6 s; 1.3M: 264 s vs groups12
+        82 s) for a ≤2% preservation edge (0.1157 vs 0.1133; 0.0048 vs
+        0.0050) — groups is the default, bands stays for schedule-
+        fidelity studies. ``"exact"``: visit every edge every step.
         """
         if self.edge_schedule == "auto":
-            if self.edge_groups != "auto":
-                return "groups" if self._edge_groups_for(n) > 1 else "exact"
-            return "bands" if n >= 50_000 else "exact"
+            return "groups" if self._edge_groups_for(n) > 1 else "exact"
         if self.edge_schedule not in ("bands", "groups", "exact"):
             raise ValueError(
                 f"[TorchDR-TPU] ERROR : unknown edge_schedule "
@@ -282,14 +283,23 @@ class UMAP(NegativeSamplingNeighborEmbedding):
             )
             band = jnp.where(jnp.isfinite(eps_per_sample), band, self._N_BANDS - 1)
             W_full = P.shape[1]
+            # Quantile widths, NOT the max: a single hub row whose edges are
+            # all strong would otherwise force every prefix to full width
+            # (observed at 1.3M: widths [120]*7 — the schedule silently
+            # degenerated to exact). Rows beyond the quantile have their
+            # over-width edges DEMOTED to the first band whose prefix
+            # reaches their column; the catch-up burst in _attr_core applies
+            # the missed fires at each visit, so total impulse is exact for
+            # ANY monotone widths — only the temporal granularity of the
+            # demoted 2% coarsens.
             widths = []
             for z in range(self._N_BANDS):
-                w = int(jnp.max(jnp.sum(band <= z, axis=1)))
+                w = int(jnp.quantile(jnp.sum(band <= z, axis=1), 0.98))
                 w = min(W_full, max(8, -(-w // 8) * 8))
                 if widths:
                     w = max(w, widths[-1])
                 widths.append(w)
-            widths[-1] = W_full  # never-firing pads ride the last prefix
+            widths[-1] = W_full  # every edge rides the last prefix
             consts["band_widths"] = tuple(widths)
             consts["edge_groups_G"] = 1
             consts["edge_group_width"] = 1  # active_edges carries row sums

@@ -92,6 +92,18 @@ class IVFIndex(NamedTuple):
     # exact, vs the (block, nlist) matmul + nlist-wide selection of flat
     # nomination (the measured fixed-cost floor at nlist ≥ 8k), or super
     # means that smear 40 natural clusters at 10M and cost ~9% recall.
+    scales: jnp.ndarray | None = None  # (ncells, d) f32 dequantization
+    # scales of the int8 compressed tier (storage="int8"): X_sorted holds
+    # q = round(clip(r/s, ±127)) int8 where r = x − centroid(cell(x)) and
+    # s[cell, dim] = max|r|/127 over the cell's rows. The TPU-native
+    # answer to the reference's IVFPQ memory tier (torchdr/distance/
+    # faiss.py:113-221): PQ's per-code ADC lookups are gather-bound and
+    # hostile to the MXU, while per-cell-per-dim affine int8 keeps the
+    # scan a dense matmul at ¼ the resident bytes of f32 — and, unlike
+    # IVFPQ's 20-33% recall ceiling on clustered data
+    # (reference benchmarks/faiss/BENCHMARK_RESULTS.md:11-13), int8
+    # residuals keep ≥99% recall (scan scores carry exact f32 |x|²; only
+    # the cross term q·r is quantized).
 
 
 def auto_nlist(n: int) -> int:
@@ -129,8 +141,21 @@ def ivf_build(
     verbose: bool = False,
     split_bytes: int = 4 << 30,
     n_superlist: int | None = None,
+    storage: str = "auto",
 ) -> IVFIndex:
     """Build the inverted file index (host-synced shapes; build once).
+
+    ``storage`` selects the database representation:
+
+    - ``"auto"`` (default): plain f32 rows, switching to the bf16
+      residual split past ``split_bytes`` (f32-grade scan scores, scan
+      bytes halved, same total resident bytes).
+    - ``"f32"`` / ``"split"``: force either tier.
+    - ``"int8"``: compressed tier — per-cell-per-dim affine int8 of the
+      cell residuals (see :class:`IVFIndex`), ¼ the resident bytes of
+      f32. The TPU-native role of the reference's IVFPQ
+      (torchdr/distance/faiss.py:113-221) with a dense-matmul scan
+      instead of gather-bound ADC lookups.
 
     With ``align=True`` each cell's rows are padded to a multiple of
     ``chunk`` (dead rows carry id −1 and are masked at scan time): every
@@ -159,6 +184,13 @@ def ivf_build(
                 flush=True,
             )
 
+    if storage not in ("auto", "f32", "split", "int8"):
+        raise ValueError(f"[TorchDR-TPU] ERROR : unknown storage {storage!r}")
+    if storage in ("split", "int8") and not align:
+        raise ValueError(
+            f"[TorchDR-TPU] ERROR : storage={storage!r} needs the "
+            "chunk-aligned layout (align=True)."
+        )
     is_host = isinstance(X, np.ndarray)
     n, d = X.shape
     nlist = n_clusters or auto_nlist(n)
@@ -244,7 +276,10 @@ def ivf_build(
         within = np.arange(n) - raw_offs[lab_sorted]
         dest_h = offs_h[lab_sorted] + within
         f32_bytes = (total + chunk) * d * 4
-        X_lo = xnorm2 = None
+        want_split = storage == "split" or (
+            storage == "auto" and f32_bytes > split_bytes
+        )
+        X_lo = xnorm2 = scales = None
         # per-row cell table: the residual scan needs it, and adjacency
         # nomination locates a block's home cells through it (4 bytes/row)
         cells_dev = jnp.asarray(_cells_of_layout(padded, chunk, nlist))
@@ -256,7 +291,12 @@ def ivf_build(
             ids_sorted = (
                 jnp.full((total + chunk,), -1, jnp.int32).at[dest].set(order)
             )
-            if f32_bytes > split_bytes:
+            if storage == "int8":
+                X_sorted, scales, xnorm2 = _int8_quantize_device(
+                    X_sorted.astype(jnp.float32), cells_dev, centroids,
+                    ids_sorted,
+                )
+            elif want_split:
                 cells_dev = jnp.asarray(_cells_of_layout(padded, chunk, nlist))
                 X_sorted, X_lo, xnorm2 = _residual_split_device(
                     X_sorted.astype(jnp.float32), cells_dev, centroids
@@ -272,7 +312,13 @@ def ivf_build(
             X_sorted.block_until_ready()
             ids_sorted = jnp.asarray(ids_h)
             _mark("device permute")
-            if f32_bytes > split_bytes:
+            if storage == "int8":
+                X_sorted, scales, xnorm2 = _int8_quantize_device(
+                    X_sorted, cells_dev, centroids, ids_sorted
+                )
+                X_sorted.block_until_ready()
+                _mark("int8 quantize")
+            elif want_split:
                 cells_dev = jnp.asarray(_cells_of_layout(padded, chunk, nlist))
                 X_sorted, X_lo, xnorm2 = _residual_split_device(
                     X_sorted, cells_dev, centroids
@@ -312,7 +358,18 @@ def ivf_build(
                 Xs_h = np.zeros((total + chunk, d), np.float32)
                 Xs_h[dest_src] = Xh
             _mark("host permute")
-            if f32_bytes > split_bytes:
+            if storage == "int8":
+                cells_h = _cells_of_layout(padded, chunk, nlist)
+                q8_h, scales_h, xn_h = _int8_quantize_host(
+                    Xs_h, cells_h, np.asarray(centroids, np.float32), ids_h,
+                    offs_h,
+                )
+                _mark("host int8 quantize")
+                X_sorted = _push_segmented(q8_h)
+                scales = jnp.asarray(scales_h)
+                xnorm2 = jnp.asarray(xn_h)
+                cells_dev = jnp.asarray(cells_h)
+            elif want_split:
                 # residual split on host (ml_dtypes bf16), push both
                 # planes — same total bytes as the f32 push, half the
                 # resident HBM and f32-grade scan scores (see IVFIndex)
@@ -339,7 +396,7 @@ def ivf_build(
         offsets = jnp.asarray(offs_h, jnp.int32)
         return IVFIndex(
             centroids, X_sorted, ids_sorted, offsets, counts, chunk, n,
-            X_lo, xnorm2, cells_dev, supers, members, cell_adj,
+            X_lo, xnorm2, cells_dev, supers, members, cell_adj, scales,
         )
 
     order_h = np.argsort(labels_h, kind="stable")
@@ -460,6 +517,74 @@ def _residual_split_device(x, cells, centroids, seg_bytes: int = 512 << 20):
             r_hi, r_lo, xn, x, cells, centroids, jnp.asarray(a, jnp.int32), seg
         )
     return r_hi, r_lo, xn
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("seg",))
+def _int8_scale_seg_jit(scales, x, cells, centroids, ids, a, seg):
+    """Accumulate per-(cell, dim) max|r| over one row segment (pad rows,
+    id < 0, are excluded — their residual is −centroid, not data)."""
+    x_seg = lax.dynamic_slice_in_dim(x, a, seg, 0)
+    c_seg = lax.dynamic_slice_in_dim(cells, a, seg, 0)
+    ids_seg = lax.dynamic_slice_in_dim(ids, a, seg, 0)
+    r = jnp.abs(x_seg - centroids[c_seg])
+    r = jnp.where((ids_seg >= 0)[:, None], r, 0.0)
+    return scales.at[c_seg].max(r)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("seg",))
+def _int8_quant_seg_jit(q8, xn, x, cells, centroids, scales, a, seg):
+    """Quantize one row segment: q = round(clip(r/s, ±127)) int8, plus the
+    exact f32 row norms (written in place, donated outputs)."""
+    x_seg = lax.dynamic_slice_in_dim(x, a, seg, 0)
+    c_seg = lax.dynamic_slice_in_dim(cells, a, seg, 0)
+    r = x_seg - centroids[c_seg]
+    q = jnp.clip(jnp.round(r / scales[c_seg]), -127.0, 127.0).astype(jnp.int8)
+    return (
+        lax.dynamic_update_slice_in_dim(q8, q, a, 0),
+        lax.dynamic_update_slice_in_dim(xn, jnp.sum(x_seg * x_seg, -1), a, 0),
+    )
+
+
+def _int8_quantize_device(x, cells, centroids, ids, seg_bytes: int = 512 << 20):
+    """f32 sorted rows → (q8, scales, xnorm2) int8 compressed tier,
+    segmented (two passes: per-cell max|residual| scales, then quantize).
+    The caller should drop its reference to ``x`` afterwards."""
+    n, d = x.shape
+    nlist = centroids.shape[0]
+    seg = min(n, max(1, seg_bytes // max(1, d * 4)))
+    starts = list(range(0, n - seg, seg)) + [max(0, n - seg)]  # tail re-covered
+    scales = jnp.zeros((nlist, d), jnp.float32)
+    for a in starts:
+        scales = _int8_scale_seg_jit(
+            scales, x, cells, centroids, ids, jnp.asarray(a, jnp.int32), seg
+        )
+    scales = jnp.maximum(scales, 1e-12) / 127.0
+    q8 = jnp.zeros((n, d), jnp.int8)
+    xn = jnp.zeros((n,), jnp.float32)
+    for a in starts:
+        q8, xn = _int8_quant_seg_jit(
+            q8, xn, x, cells, centroids, scales, jnp.asarray(a, jnp.int32), seg
+        )
+    return q8, scales, xn
+
+
+def _int8_quantize_host(Xs_h, cells_h, cent_h, ids_h, offs_rows):
+    """Host-side int8 quantization of the aligned sorted layout.
+
+    ``offs_rows`` are the per-cell row starts in the layout (int64);
+    per-cell max|r| runs via ``np.maximum.reduceat`` over the sorted rows
+    (ufunc.at is single-element and measured minutes at 10M). Pad rows are
+    zeroed in the residual first, so they cannot pollute the scales; empty
+    cells pick up a neighboring row's stats (reduceat's empty-segment
+    convention), which is harmless — they are never probed."""
+    xn = np.einsum("ij,ij->i", Xs_h, Xs_h).astype(np.float32)
+    R = Xs_h - cent_h[cells_h]
+    R[ids_h < 0] = 0.0
+    idx = np.minimum(offs_rows, max(0, R.shape[0] - 1)).astype(np.intp)
+    scales = np.maximum.reduceat(np.abs(R), idx, axis=0).astype(np.float32)
+    scales = np.maximum(scales, 1e-12) / 127.0
+    q8 = np.clip(np.round(R / scales[cells_h]), -127, 127).astype(np.int8)
+    return q8, scales, xn
 
 
 def _build_supers(centroids, S: int, key):
@@ -608,7 +733,9 @@ def _ivf_search_impl(
     position ``pos0 + i``) and re-rank rows reconstruct x = c + hi + lo.
     """
     (centroids, X_sorted, ids_sorted, offsets, counts, X_lo, xnorm2,
-     cells_sorted, super_centroids, super_members, cell_adj) = index_arrays
+     cells_sorted, super_centroids, super_members, cell_adj,
+     scales) = index_arrays
+    int8_storage = scales is not None
     use_supers = (
         nominate == "supers" and n_supers > 0 and super_centroids is not None
     )
@@ -643,7 +770,14 @@ def _ivf_search_impl(
         ids_r = ids_sorted[:n_total].reshape(n_total // chunk, chunk)
         if residual:
             xn_r = xnorm2[:n_total].reshape(n_total // chunk, chunk)
-            X_lo_r = X_lo[:n_total].reshape(n_total // chunk, chunk, X_lo.shape[1])
+            if X_lo is not None:
+                X_lo_r = X_lo[:n_total].reshape(
+                    n_total // chunk, chunk, X_lo.shape[1]
+                )
+    if int8_storage and n_total % chunk != 0:
+        raise NotImplementedError(
+            "[TorchDR-TPU] int8 storage requires the chunk-aligned layout."
+        )
     prec = {
         "default": lax.Precision.DEFAULT,
         "high": lax.Precision.HIGH,
@@ -659,8 +793,11 @@ def _ivf_search_impl(
 
     def rows_f32(pos):
         """Gather database rows at full precision (c + hi + lo under
-        residual split storage)."""
+        residual split storage; c + s·q under int8 — the best
+        reconstruction the compressed tier has)."""
         Xg = X_sorted[pos].astype(jnp.float32)
+        if int8_storage:
+            Xg = Xg * scales[cell_of(pos)]
         if X_lo is not None:
             Xg = Xg + X_lo[pos].astype(jnp.float32)
         if residual:
@@ -676,8 +813,11 @@ def _ivf_search_impl(
                 Qs_lo, b * block, block, axis=0
             ).astype(jnp.float32)
         if residual and not queries_raw:
-            # self-queries are residual rows: add back their cell centroid
+            # self-queries are residual rows: dequantize (int8) and add
+            # back their cell centroid
             q_pos = pos0 + b * block + jnp.arange(block, dtype=jnp.int32)
+            if int8_storage:
+                Qb = Qb * scales[cell_of(q_pos)]
             Qb = Qb + centroids[cell_of(q_pos)]
         rows = lax.dynamic_slice_in_dim(q_rows, b * block, block, axis=0)
         qn = jnp.sum(Qb * Qb, axis=-1)
@@ -854,6 +994,8 @@ def _ivf_search_impl(
                 Xc = lax.dynamic_slice_in_dim(X_sorted, start, chunk, 0).astype(
                     jnp.float32
                 )
+                if int8_storage:
+                    Xc = Xc * scales[cells[sel_ci[s]]][None, :]
                 if X_lo is not None:
                     Xc = Xc + lax.dynamic_slice_in_dim(
                         X_lo, start, chunk, 0
@@ -938,18 +1080,38 @@ def _ivf_search_impl(
                 xn_g = jnp.take(xn_r, cid, axis=0).reshape(-1)
                 Xg_lo = (
                     jnp.take(X_lo_r, cid, axis=0).reshape(-1, X_lo.shape[1])
-                    if scan_fidelity == "full" else None
+                    if scan_fidelity == "full" and X_lo is not None else None
                 )
             else:
                 xn_g = xnorm2[row_idx]
-                Xg_lo = X_lo[row_idx] if scan_fidelity == "full" else None
+                Xg_lo = (
+                    X_lo[row_idx]
+                    if scan_fidelity == "full" and X_lo is not None else None
+                )
             c_home = centroids[cells[0]]
             qc32 = Qb - c_home[None, :]
-            # _bf16_split, NOT .astype pairs: XLA elides f32→bf16→f32
-            # convert chains, which would zero qc_lo (see _bf16_split)
-            qc, qc_lo = _bf16_split(qc32)
-            g1 = jnp.matmul(qc, Xg_all.T, preferred_element_type=jnp.float32)
-            g2 = jnp.matmul(Xg_all.astype(jnp.float32), c_home)  # (W,)
+            if int8_storage:
+                # int8 dequantization: slots never cross cells (aligned
+                # layout), so ONE per-slot scale row broadcasts over the
+                # slot's chunk. The dequantized plane is a per-block VMEM
+                # transient; HBM-resident bytes stay int8 (the point of
+                # the tier). Residual magnitudes are 8-bit, so DEFAULT
+                # (bf16-mult) matmul precision adds nothing measurable.
+                s_slot = scales[cells[sel_ci]]  # (n_slots, d) — n_slots is
+                # min(budget, ncells·max_ch), NOT budget
+                Xg_f = (
+                    Xg_all.astype(jnp.float32).reshape(
+                        slot_start.shape[0], chunk, X_sorted.shape[1]
+                    ) * s_slot[:, None, :]
+                ).reshape(-1, X_sorted.shape[1])
+                g1 = jnp.matmul(qc32, Xg_f.T, preferred_element_type=jnp.float32)
+                g2 = jnp.matmul(Xg_f, c_home)  # (W,)
+            else:
+                # _bf16_split, NOT .astype pairs: XLA elides f32→bf16→f32
+                # convert chains, which would zero qc_lo (see _bf16_split)
+                qc, qc_lo = _bf16_split(qc32)
+                g1 = jnp.matmul(qc, Xg_all.T, preferred_element_type=jnp.float32)
+                g2 = jnp.matmul(Xg_all.astype(jnp.float32), c_home)  # (W,)
             if Xg_lo is not None:
                 g1 = (
                     g1
@@ -1082,12 +1244,13 @@ def _resolve_search_knobs(index, k, nprobe, m, budget, merge, scan_impl,
         else:
             nomination = "flat"
     if merge is None:
-        # residual (split) indexes pair best with the hierarchical exact
-        # tournament (approx_min_k's binning measurably degrades on the
-        # residual score structure: 98.2% vs 99.8% at 500k np16), while
-        # f32 indexes with wide chunks (the ≤4 GB tier) favor approx
+        # residual (split/int8) indexes pair best with the hierarchical
+        # exact tournament (approx_min_k's binning measurably degrades on
+        # the residual score structure: 98.2% vs 99.8% at 500k np16),
+        # while f32 indexes with wide chunks (the ≤4 GB tier) favor approx
         # (tournament's per-slot top_k cost grows with chunk width)
-        merge = "tournament" if index.X_lo is not None else "approx"
+        compressed = index.X_lo is not None or index.scales is not None
+        merge = "tournament" if compressed else "approx"
     ncells_total = int(index.offsets.shape[0])
     nprobe = min(nprobe, ncells_total)
     counts_h = np.asarray(index.counts, np.float64)
@@ -1134,8 +1297,10 @@ def _resolve_search_knobs(index, k, nprobe, m, budget, merge, scan_impl,
         # only reachable when split-precision storage was disabled (the
         # bf16 hi plane is half the f32 bytes and stays under the limit)
         scan_impl = "slices"
-    if index.X_lo is not None and scan_impl == "pallas":
-        scan_impl = "xla"  # the Pallas kernel has no split-storage path
+    if (
+        index.X_lo is not None or index.scales is not None
+    ) and scan_impl == "pallas":
+        scan_impl = "xla"  # the Pallas kernel has no split/int8 path
     if not rerank and scan_impl == "pallas":
         scan_impl = "xla"  # the fused kernel always re-ranks
     return nprobe, budget, m_eff, merge, max_ch, scan_impl, n_supers, nomination
@@ -1161,8 +1326,14 @@ def ivf_knn(
     nomination: str | None = None,
     rerank: bool = True,
     budget_order: str = "depth",
+    storage: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Approximate self-kNN of X through an IVF index.
+
+    ``storage`` is forwarded to :func:`ivf_build` (ignored with a prebuilt
+    ``index``): ``"int8"`` selects the compressed tier (¼ the resident
+    bytes of f32; self-queries are reconstructed from the quantized rows,
+    so both sides of the score carry the int8 rounding).
 
     ``rerank=False`` returns scan-score distances directly (selection runs
     at width k, skipping the exact f32 survivor re-rank — the dominant
@@ -1186,7 +1357,7 @@ def ivf_knn(
     if index is None:
         if X is None:
             raise ValueError("[TorchDR-TPU] ERROR : pass X or a prebuilt index.")
-        index = ivf_build(X, n_clusters=n_clusters, key=key)
+        index = ivf_build(X, n_clusters=n_clusters, key=key, storage=storage)
     # X itself is not needed beyond the build (the index holds the sorted
     # rows); callers at memory-bound scales pass X=None with a prebuilt
     # index so only one copy of the database is resident
@@ -1201,6 +1372,7 @@ def ivf_knn(
         index.centroids, index.X_sorted, index.ids_sorted, index.offsets,
         index.counts, index.X_lo, index.xnorm2, index.cells_sorted,
         index.super_centroids, index.super_members, index.cell_adj,
+        index.scales,
     )
     chunk = index.chunk
 
@@ -1222,8 +1394,9 @@ def ivf_knn(
         Qs_lo = None if Qs_lo is None else Qs_lo[:total]
         out_ids = index.ids_sorted[:total]
         if n_pad != total:
+            qpad = 1e12 if jnp.issubdtype(Qs.dtype, jnp.floating) else 0
             Qs = jnp.concatenate(
-                [Qs, jnp.full((n_pad - total, Qs.shape[1]), 1e12, Qs.dtype)]
+                [Qs, jnp.full((n_pad - total, Qs.shape[1]), qpad, Qs.dtype)]
             )
             if Qs_lo is not None:
                 Qs_lo = jnp.concatenate(
@@ -1262,8 +1435,11 @@ def ivf_knn(
             sid = scatter_ids[a:b]
             if b - a < seg:  # pad the tail with dead queries
                 pad = seg - (b - a)
+                qpad = (
+                    1e12 if jnp.issubdtype(Q_seg.dtype, jnp.floating) else 0
+                )
                 Q_seg = jnp.concatenate(
-                    [Q_seg, jnp.full((pad, Q_seg.shape[1]), 1e12, Q_seg.dtype)]
+                    [Q_seg, jnp.full((pad, Q_seg.shape[1]), qpad, Q_seg.dtype)]
                 )
                 if Ql_seg is not None:
                     Ql_seg = jnp.concatenate(
@@ -1334,9 +1510,27 @@ def ivf_knn_queries(
     ``indices`` are original database row ids.
     """
     n = index.n
+    # Block-shared probing assumes cluster-coherent blocks. The self-query
+    # path gets that from the sorted layout (a block = 1-2 cells); sorted
+    # cross queries are only as coherent as their density allows — a small
+    # or spread query set packs many DISTINCT home cells into one block,
+    # and nprobe shared probes cannot cover them (measured: 500 queries
+    # over 64 cells = ~33 homes/block → 25% recall at nprobe=12, 100% at
+    # 64). Boost the block's probe count by the expected home-cell
+    # diversity so per-query coverage matches Faiss's per-query nprobe
+    # semantics; budget scales with it in _resolve_search_knobs.
+    nq_real = int(np.asarray(Q.shape[0]))
+    nlist_t = int(index.centroids.shape[0])
+    homes_pb = int(np.ceil(block * min(nlist_t, max(1, nq_real)) / max(1, nq_real)))
+    homes_pb = max(1, min(block, homes_pb))
+    nprobe_eff = min(nlist_t, int(nprobe) * homes_pb)
+    if homes_pb > 8 and nomination is None:
+        # adjacency nomination samples ≤8 home positions per block —
+        # blocks more diverse than that would miss homes entirely
+        nomination = "flat"
     nprobe, budget, m_eff, merge, max_ch, scan_impl, n_supers, nominate = (
         _resolve_search_knobs(
-            index, k, nprobe, m, budget, merge, scan_impl, nprobe_supers,
+            index, k, nprobe_eff, m, budget, merge, scan_impl, nprobe_supers,
             nomination, has_q_cells=sort_queries, rerank=rerank,
         )
     )
@@ -1344,6 +1538,7 @@ def ivf_knn_queries(
         index.centroids, index.X_sorted, index.ids_sorted, index.offsets,
         index.counts, index.X_lo, index.xnorm2, index.cells_sorted,
         index.super_centroids, index.super_members, index.cell_adj,
+        index.scales,
     )
     chunk = index.chunk
     Q = jnp.asarray(Q, jnp.float32)
@@ -1421,6 +1616,7 @@ def ivf_build_from_batches(
     verbose: bool = False,
     split_bytes: int = 4 << 30,
     n_superlist: int | None = None,
+    storage: str = "auto",
 ) -> IVFIndex:
     """Build an IVF index incrementally from a multi-pass batch feed.
 
@@ -1522,9 +1718,17 @@ def ivf_build_from_batches(
     counts = jnp.asarray(counts_h.astype(np.int32))
     offsets = jnp.asarray(offs_h, jnp.int32)
     f32_bytes = (total + chunk) * d * 4
-    X_lo = xnorm2 = None
+    X_lo = xnorm2 = scales = None
     cells_dev = jnp.asarray(_cells_of_layout(padded, chunk, nlist))
-    if f32_bytes > split_bytes:
+    if storage == "int8":
+        cells_h = _cells_of_layout(padded, chunk, nlist)
+        q8_h, scales_h, xn_h = _int8_quantize_host(
+            Xs_h, cells_h, np.asarray(centroids, np.float32), ids_h, offs_h
+        )
+        X_sorted = _push_segmented(q8_h)
+        scales = jnp.asarray(scales_h)
+        xnorm2 = jnp.asarray(xn_h)
+    elif storage == "split" or (storage == "auto" and f32_bytes > split_bytes):
         import ml_dtypes
 
         bf16 = ml_dtypes.bfloat16
@@ -1545,5 +1749,5 @@ def ivf_build_from_batches(
     X_sorted.block_until_ready()
     return IVFIndex(
         centroids, X_sorted, ids_sorted, offsets, counts, chunk, n,
-        X_lo, xnorm2, cells_dev, supers, members, cell_adj,
+        X_lo, xnorm2, cells_dev, supers, members, cell_adj, scales,
     )

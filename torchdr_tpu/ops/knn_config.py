@@ -66,6 +66,13 @@ class KnnConfig:
     #: calibration absorb; hence False HERE (the estimator graph path),
     #: while the raw ``ivf_knn`` API keeps exactness-first rerank=True.
     rerank: bool = False
+    #: IVF database storage tier: "auto" (f32, switching to the bf16
+    #: residual split past 4 GB) | "f32" | "split" | "int8". "int8" is the
+    #: compressed tier — per-cell affine int8 residuals at ¼ the resident
+    #: bytes of f32, the TPU-native role of the reference's IVFPQ
+    #: (torchdr/distance/faiss.py:113-221) without PQ's gather-bound ADC
+    #: scan or its 20-33% recall ceiling.
+    storage: str = "auto"
 
     def __post_init__(self):
         if self.mode not in ("exact", "approx", "ivf"):
@@ -77,6 +84,10 @@ class KnnConfig:
         if self.nomination not in (None, "flat", "adjacency", "supers"):
             raise ValueError(
                 f"[TorchDR-TPU] unknown ivf nomination {self.nomination!r}"
+            )
+        if self.storage not in ("auto", "f32", "split", "int8"):
+            raise ValueError(
+                f"[TorchDR-TPU] unknown ivf storage {self.storage!r}"
             )
 
     def kwargs(self) -> dict:

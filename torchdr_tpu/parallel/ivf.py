@@ -47,6 +47,7 @@ def ivf_knn_sharded(
     nprobe_supers: int | None = None,
     nomination: str | None = None,
     rerank: bool = True,
+    storage: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Approximate self-kNN through an IVF index, queries sharded over a mesh.
 
@@ -58,7 +59,7 @@ def ivf_knn_sharded(
     if index is None:
         if X is None:
             raise ValueError("[TorchDR-TPU] ERROR : pass X or a prebuilt index.")
-        index = ivf_build(X, n_clusters=n_clusters, key=key)
+        index = ivf_build(X, n_clusters=n_clusters, key=key, storage=storage)
     n = index.n
     chunk = index.chunk
     nprobe, budget, m_eff, merge, max_ch, scan_impl, n_supers, nominate = (
@@ -82,8 +83,9 @@ def ivf_knn_sharded(
     Qs_lo = index.X_lo
     out_ids = index.ids_sorted
     if n_pad != total:
+        qpad = 1e12 if jnp.issubdtype(Qs.dtype, jnp.floating) else 0
         Qs = jnp.concatenate(
-            [Qs, jnp.full((n_pad - total, Qs.shape[1]), 1e12, Qs.dtype)]
+            [Qs, jnp.full((n_pad - total, Qs.shape[1]), qpad, Qs.dtype)]
         )
         if Qs_lo is not None:
             Qs_lo = jnp.concatenate(
@@ -101,6 +103,7 @@ def ivf_knn_sharded(
         index.centroids, index.X_sorted, index.ids_sorted, index.offsets,
         index.counts, index.X_lo, index.xnorm2, index.cells_sorted,
         index.super_centroids, index.super_members, index.cell_adj,
+        index.scales,
     )
     has_lo = Qs_lo is not None
     # None leaves can't cross the shard_map boundary — strip them and
