@@ -62,6 +62,11 @@ def reconstruct_rows(idx):
     planes (5.25 GB at 10M) + out (5.2 GB) + one segment — a concat of
     per-segment results would peak ~15.6 GB and OOM.
     """
+    if idx.scales is not None:
+        raise ValueError(
+            "int8 reconstruction is lossy — rebuild from a split/f32 index "
+            "instead (order int8 builds last)."
+        )
     if idx.X_lo is None:
         return idx.X_sorted, idx.ids_sorted
     total, d = idx.X_sorted.shape

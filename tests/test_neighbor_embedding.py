@@ -153,6 +153,21 @@ class TestPACMAP:
         X, y = toy_moons
         _check_quality(tdr.PACMAP(n_neighbors=10, max_iter=450, random_state=0), X, y)
 
+    def test_knn_mode_reaches_affinity(self):
+        """PACMAP exposes knn_mode like every other kNN-graph estimator
+        (it was silently swallowed as an unknown kwarg before round 4)."""
+        rng = np.random.default_rng(0)
+        c = rng.normal(scale=8.0, size=(8, 16)).astype(np.float32)
+        X = (c[rng.integers(0, 8, 800)]
+             + rng.normal(size=(800, 16))).astype(np.float32)
+        m = tdr.PACMAP(
+            n_neighbors=10, max_iter=40, random_state=0,
+            knn_mode=tdr.KnnConfig(mode="ivf", nprobe=8, n_clusters=16),
+        )
+        assert m.affinity_in.knn_mode == "ivf"
+        Z = np.asarray(m.fit_transform(X))
+        assert Z.shape == (800, 2) and np.isfinite(Z).all()
+
 
 class TestCOSNE:
     def test_quality_and_ball(self, toy_moons):

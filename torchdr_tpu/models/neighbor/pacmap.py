@@ -47,10 +47,23 @@ class PACMAP(NegativeSamplingNeighborEmbedding):
         iter_per_phase: int = 100,
         check_interval: int = 50,
         discard_NNs: bool = False,
+        knn_mode="exact",
+        mn_resample_every: int = 1,
         **kwargs,
     ):
         self.n_neighbors = n_neighbors
         self.metric = metric
+        self.knn_mode = knn_mode
+        #: refresh the mid-near pair set every R steps (1 = every step,
+        #: the maximum-variance-reduction schedule; the reference samples
+        #: ONCE for the whole fit, i.e. R = ∞). The draw is ~26% of the
+        #: 100k step, so R=8 recovers most of it at unchanged quality
+        #: (docs/ROUND4_STATUS.md).
+        self.mn_resample_every = int(mn_resample_every)
+        if self.mn_resample_every < 1:
+            raise ValueError(
+                "[TorchDR-TPU] ERROR : mn_resample_every must be >= 1."
+            )
         self.MN_ratio = MN_ratio
         self.FP_ratio = FP_ratio
         self.n_mid_near = max(int(MN_ratio * n_neighbors), 1)
@@ -62,6 +75,7 @@ class PACMAP(NegativeSamplingNeighborEmbedding):
             metric=metric,
             device=device,
             verbose=verbose,
+            knn_mode=knn_mode,
         )
         super().__init__(
             affinity_in=affinity_in,
@@ -102,19 +116,21 @@ class PACMAP(NegativeSamplingNeighborEmbedding):
         consts["X"] = X  # kept for mid-near input-space distances
         return consts
 
-    def _attractive_loss(self, Z, consts, carry, it, key):
-        w_NB, w_MN, _ = self._weights(it)
-        NN = consts["NN"]
-        Q_near = 1.0 + pairwise_distances_indexed(Z, key_indices=NN, metric="sqeuclidean")
-        near_loss = w_NB * jnp.sum(Q_near / (10.0 + Q_near))
+    def _init_carry(self, consts):
+        carry = super()._init_carry(consts)
+        if self.mn_resample_every > 1:
+            # refreshed at it=0 (0 % R == 0) before first use
+            carry["mid_near"] = jnp.zeros(
+                (consts["n"], self.n_mid_near), jnp.int32
+            )
+        return carry
 
-        # Mid-near: sample 6 candidates per slot, keep the 2nd closest in
-        # input space; executed every step, masked out in phase 3 by w_MN=0.
-        X = consts["X"]
-        n = consts["n"]
-        cand = jax.random.randint(
-            key, (self.n_mid_near, n, 6), 0, n - 1
-        )
+    def _draw_mid_near(self, X, n, key):
+        """Sample 6 candidates per slot, keep the 2nd closest in input
+        space (the reference's mid-near rule, torchdr/neighbor_embedding/
+        pacmap.py:223-242 — but drawn in-jit so pairs can refresh during
+        the fit instead of being fixed once)."""
+        cand = jax.random.randint(key, (self.n_mid_near, n, 6), 0, n - 1)
         self_idx = jnp.arange(n)[None, :, None]
         cand = cand + (cand >= self_idx).astype(cand.dtype)
 
@@ -123,7 +139,38 @@ class PACMAP(NegativeSamplingNeighborEmbedding):
             _, idx2 = lax.top_k(-D, 2)
             return jnp.take_along_axis(c, idx2[:, 1:2], axis=1)[:, 0]
 
-        mid_near = jax.vmap(second_closest)(cand).T  # (n, n_mid_near)
+        return jax.vmap(second_closest)(cand).T.astype(jnp.int32)  # (n, nmn)
+
+    def _attractive_loss(self, Z, consts, carry, it, key):
+        w_NB, w_MN, _ = self._weights(it)
+        NN = consts["NN"]
+        Q_near = 1.0 + pairwise_distances_indexed(Z, key_indices=NN, metric="sqeuclidean")
+        near_loss = w_NB * jnp.sum(Q_near / (10.0 + Q_near))
+
+        # Mid-near pairs. The candidate draw + input-space distance pass is
+        # ~26% of the 100k step (benchmarks/_pacmap100k.py ablation), so it
+        # runs under lax.cond: only on refresh steps (it % R == 0) and
+        # never in phase 3 where w_MN = 0 zeroes the term anyway.
+        X = consts["X"]
+        n = consts["n"]
+        active = w_MN > 0
+        R = self.mn_resample_every
+        if R == 1:
+            mid_near = lax.cond(
+                active,
+                lambda k: self._draw_mid_near(X, n, k),
+                lambda k: jnp.zeros((n, self.n_mid_near), jnp.int32),
+                key,
+            )
+        else:
+            refresh = active & (jnp.mod(it, R) == 0)
+            mid_near = lax.cond(
+                refresh,
+                lambda k: self._draw_mid_near(X, n, k),
+                lambda k: carry["mid_near"],
+                key,
+            )
+            carry = dict(carry, mid_near=mid_near)
         Q_mid = 1.0 + pairwise_distances_indexed(
             Z, key_indices=mid_near, metric="sqeuclidean"
         )
