@@ -108,6 +108,7 @@ class TestShardedIVF:
         assert agree > 0.999
         assert np.abs(np.asarray(d0) - np.asarray(d1)).max() < 1e-4
 
+    @pytest.mark.slow
     def test_ivf_sharded_via_affinity(self, mesh):
         from torchdr_tpu.ops.knn_config import KnnConfig
 
@@ -122,6 +123,7 @@ class TestShardedIVF:
 
 
 class TestKnnConfigHonored:
+    @pytest.mark.slow
     def test_ivf_knobs_reach_dispatch(self, monkeypatch):
         """budget/merge/ivf_block from KnnConfig are passed to ivf_knn."""
         from torchdr_tpu.ops.knn_config import KnnConfig

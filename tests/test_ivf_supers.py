@@ -51,6 +51,7 @@ class TestSupers:
         idx = ivf_build(X, n_clusters=64)
         assert idx.super_centroids is None
 
+    @pytest.mark.slow
     def test_super_nomination_recall_matches_flat(self, clustered):
         X, i0 = clustered
         idx = ivf_build(X, n_clusters=64, n_superlist=16)

@@ -146,6 +146,7 @@ class TestLoaderValidation:
 
 
 class TestReplayedBuilds:
+    @pytest.mark.slow
     def test_ivf_build_from_factory_matches_list(self, data):
         idx_f = ivf_build_from_batches(
             lambda: iter(_batches(data)), n_clusters=16
@@ -183,6 +184,7 @@ class TestReplayedBuilds:
         with pytest.raises(ValueError, match="replay|every pass|expected"):
             ivf_build_from_batches(flaky, n_clusters=16)
 
+    @pytest.mark.slow
     def test_knn_graph_streaming_from_factory(self, data):
         from torchdr_tpu.ops.distance import knn_graph
         import jax.numpy as jnp

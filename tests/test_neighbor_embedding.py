@@ -178,6 +178,7 @@ class TestCOSNE:
         assert np.linalg.norm(np.asarray(Z), axis=1).max() < 1.0
         assert tdr.silhouette_score(Z, y) > SIL_FLOOR
 
+    @pytest.mark.slow
     def test_quality_clustered_pca_init(self):
         """Round-3 regression: the PCA-expmap init (now default) must
         separate clustered data where random hyperbolic init plateaued at

@@ -319,6 +319,7 @@ class TestAutodiffBlockwiseReduce:
             jnp.where(jnp.eye(n, dtype=bool), -jnp.inf, logq), axis=1
         )
 
+    @pytest.mark.slow
     def test_matches_dense_fwd_and_grad(self):
         from torchdr_tpu.ops.reduce import pairwise_logkernel_rowlse_autodiff
 
@@ -665,6 +666,7 @@ class TestPQ:
         codes = pq_encode(X, cb)
         assert codes.shape == (X.shape[0], 8) and codes.dtype == jnp.uint8
 
+    @pytest.mark.slow
     def test_recall_in_reference_band_and_refine_recovers(self):
         from torchdr_tpu.ops.pq import pq_knn
 

@@ -116,6 +116,7 @@ class TestLBFGS:
     """Fixed-step two-loop L-BFGS (the reference's SEA LBFGS branch analog,
     torchdr/affinity/entropic.py:437-577)."""
 
+    @pytest.mark.slow
     def test_quadratic_beats_adam(self):
         rng = np.random.default_rng(0)
         A = rng.normal(size=(30, 30))

@@ -73,6 +73,7 @@ class TestShardedKnn:
 
 @needs_8
 class TestDistributedTraining:
+    @pytest.mark.slow
     def test_umap_distributed_matches_single(self, mesh):
         from sklearn.datasets import make_moons
 

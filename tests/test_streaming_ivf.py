@@ -43,6 +43,7 @@ def recall(i_true, i_test, k=10):
 
 
 class TestBuildFromBatches:
+    @pytest.mark.slow
     def test_matches_monolithic_build(self, data):
         X, i0 = data
         batches = [X[a : a + 1000] for a in range(0, X.shape[0], 1000)]
@@ -78,6 +79,7 @@ class TestBuildFromBatches:
 
 
 class TestQueriesSearch:
+    @pytest.mark.slow
     def test_self_queries_match_self_path(self, data):
         X, i0 = data
         idx = ivf_build(jnp.asarray(X), n_clusters=24)
@@ -114,6 +116,7 @@ class TestQueriesSearch:
 
 
 class TestSegmentedStreaming:
+    @pytest.mark.slow
     def test_beyond_memory_segments_match_ivf(self, data):
         X, i0 = data
         batches = [X[a : a + 1000] for a in range(0, X.shape[0], 1000)]
@@ -131,6 +134,7 @@ class TestSegmentedStreaming:
         assert (np.diff(d_s, axis=1) >= -1e-6).all()
         assert not (i_s == np.arange(X.shape[0])[:, None]).any()
 
+    @pytest.mark.slow
     def test_single_segment_path(self, data):
         X, i0 = data
         batches = [X[a : a + 2000] for a in range(0, X.shape[0], 2000)]
