@@ -557,24 +557,16 @@ class TestIVF:
         assert np.array_equal(np.asarray(i1), np.asarray(i2))
         assert np.allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
 
-    def test_pallas_scan_matches_xla(self):
-        """Fused in-VMEM top-m (interpret mode) vs the XLA scan."""
+    def test_removed_pallas_scan_rejected(self):
+        """scan_impl="pallas" was removed round 4 (VPU-bound, demoted in
+        every at-scale config — docs/ROUND4_STATUS.md); asking for it must
+        fail loudly, not silently fall back."""
         from torchdr_tpu.ops.ivf import ivf_build, ivf_knn
 
-        rng = np.random.default_rng(0)
-        centers = rng.normal(scale=8.0, size=(16, 16)).astype(np.float32)
-        X = jnp.asarray(
-            centers[rng.integers(0, 16, 4000)]
-            + rng.normal(size=(4000, 16)).astype(np.float32)
-        )
-        index = ivf_build(X, n_clusters=24, kmeans_iters=8, chunk=128)
-        d1, i1 = ivf_knn(X, k=8, nprobe=8, index=index, scan_impl="xla")
-        d2, i2 = ivf_knn(X, k=8, nprobe=8, index=index, scan_impl="pallas")
-        # both probe the same cells; pallas selection is exact, xla's
-        # approx_min_k may differ in the margin — compare final neighbors
-        same = np.mean(np.asarray(i1) == np.asarray(i2))
-        assert same > 0.99
-        assert np.allclose(np.sort(d1, 1), np.sort(d2, 1), atol=1e-3)
+        X = jax.random.normal(jax.random.PRNGKey(0), (1000, 8))
+        index = ivf_build(X, n_clusters=16)
+        with pytest.raises(ValueError, match="scan_impl"):
+            ivf_knn(X, k=5, nprobe=4, index=index, scan_impl="pallas")
 
     def test_search_without_X(self):
         from torchdr_tpu.ops.ivf import ivf_build, ivf_knn

@@ -764,7 +764,7 @@ def _ivf_search_impl(
     per_query_probes = max(2, min(nlist, ncells))
     if max_ch is None:
         max_ch = max(1, -(-int(budget) // max(1, ncells)) + 3)
-    aligned = n_total % chunk == 0 and scan_impl in ("xla", "pallas")
+    aligned = n_total % chunk == 0 and scan_impl == "xla"
     if aligned:
         X_r = X_sorted[:n_total].reshape(n_total // chunk, chunk, X_sorted.shape[1])
         ids_r = ids_sorted[:n_total].reshape(n_total // chunk, chunk)
@@ -1054,18 +1054,7 @@ def _ivf_search_impl(
         ).reshape(-1)
         idg = jnp.where(col_dead, -1, idg)
 
-        if scan_impl == "pallas":
-            # fused scan + exact in-VMEM top-m (ops/pallas/ivf_kernel.py):
-            # no (block, W) buffer, no separate selection pass
-            from .pallas.ivf_kernel import ivf_scan_block_pallas
-
-            vals, p = ivf_scan_block_pallas(
-                Qb, rows, Xg_all, idg, m=m, chunk=chunk,
-                scan_precision=scan_precision,
-                interpret=jax.default_backend() == "cpu",
-            )
-            pos = row_idx[jnp.maximum(p, 0)]
-        elif residual:
+        if residual:
             # Residual scoring: q·x = q·c_col (f32, from the centroid
             # matmul already computed for voting) + (q−c_home)·r (bf16 MXU
             # matmuls) + c_home·r (f32 matvec). |x|² is exact f32 from the
@@ -1095,8 +1084,13 @@ def _ivf_search_impl(
                 # layout), so ONE per-slot scale row broadcasts over the
                 # slot's chunk. The dequantized plane is a per-block VMEM
                 # transient; HBM-resident bytes stay int8 (the point of
-                # the tier). Residual magnitudes are 8-bit, so DEFAULT
-                # (bf16-mult) matmul precision adds nothing measurable.
+                # the tier). The matmul MUST honor the resolved scan
+                # precision: a DEFAULT (single-pass bf16) contraction
+                # truncates the f32 query mantissa and pins recall at the
+                # known bf16-scan ceiling (~88% at 10M — measured round 4:
+                # int8 recall sat at 0.884 flat across budget/nprobe while
+                # the quantizer's own ceiling was 0.982; HIGH costs no
+                # wall-clock because the 10M search is selection-bound).
                 s_slot = scales[cells[sel_ci]]  # (n_slots, d) — n_slots is
                 # min(budget, ncells·max_ch), NOT budget
                 Xg_f = (
@@ -1104,8 +1098,11 @@ def _ivf_search_impl(
                         slot_start.shape[0], chunk, X_sorted.shape[1]
                     ) * s_slot[:, None, :]
                 ).reshape(-1, X_sorted.shape[1])
-                g1 = jnp.matmul(qc32, Xg_f.T, preferred_element_type=jnp.float32)
-                g2 = jnp.matmul(Xg_f, c_home)  # (W,)
+                g1 = jnp.matmul(
+                    qc32, Xg_f.T, preferred_element_type=jnp.float32,
+                    precision=prec,
+                )
+                g2 = jnp.matmul(Xg_f, c_home, precision=prec)  # (W,)
             else:
                 # _bf16_split, NOT .astype pairs: XLA elides f32→bf16→f32
                 # convert chains, which would zero qc_lo (see _bf16_split)
@@ -1134,54 +1131,53 @@ def _ivf_search_impl(
             )
             sc = ng[None, :] - 2.0 * g  # rank-equivalent within each row
 
-        if scan_impl != "pallas":
-            invalid = (idg[None, :] < 0) | (idg[None, :] == rows[:, None])
-            buf = sc + MASK_VALUE * invalid.astype(sc.dtype)
-            if merge == "exact":
-                # approx_min_k's ~(1-recall_target) per-item loss is its
-                # contract; ≥99.9% end-to-end recall needs exact selection
-                neg, cidx = lax.top_k(-buf, m)
-                vals = -neg
-            elif merge == "tournament":
-                # Hierarchical EXACT selection: per-slot top-t then top-m
-                # over the t·nslots survivors. Exact for k ≤ t: a global
-                # top-k item is top-k WITHIN its slot for ANY partition of
-                # the buffer, so the slot round never drops it. Both
-                # top_ks are narrow — far cheaper than one wide exact
-                # top_k, and none of approx_min_k's ~1% binning loss.
-                # (A finer sub-slot split of wide chunks was measured
-                # NEUTRAL at the 1M geometry — 6.34 vs 6.37 s at sub
-                # widths 128/256/512 — the tournament there is scan-
-                # bound, not selection-bound; chunk-wide slots stay.)
-                ts = chunk
-                t = min(ts, max(16, k))
-                nslots = buf.shape[1] // ts
-                b3 = (-buf).reshape(block, nslots, ts)
-                neg1, i1 = lax.top_k(b3, t)               # (block, nslots, t)
-                flat = neg1.reshape(block, nslots * t)
-                neg2, i2 = lax.top_k(flat, min(m, nslots * t))
-                vals = -neg2
-                within = jnp.take_along_axis(
-                    i1.reshape(block, nslots * t), i2, axis=1
-                )
-                cidx = (i2 // t) * ts + within
-            else:
-                vals, cidx = lax.approx_min_k(buf, m, recall_target=0.99)
-            pos = row_idx[cidx]         # (block, m): direct flat mapping
+        invalid = (idg[None, :] < 0) | (idg[None, :] == rows[:, None])
+        buf = sc + MASK_VALUE * invalid.astype(sc.dtype)
+        if merge == "exact":
+            # approx_min_k's ~(1-recall_target) per-item loss is its
+            # contract; ≥99.9% end-to-end recall needs exact selection
+            neg, cidx = lax.top_k(-buf, m)
+            vals = -neg
+        elif merge == "tournament":
+            # Hierarchical EXACT selection: per-slot top-t then top-m
+            # over the t·nslots survivors. Exact for k ≤ t: a global
+            # top-k item is top-k WITHIN its slot for ANY partition of
+            # the buffer, so the slot round never drops it. Both
+            # top_ks are narrow — far cheaper than one wide exact
+            # top_k, and none of approx_min_k's ~1% binning loss.
+            # (A finer sub-slot split of wide chunks was measured
+            # NEUTRAL at the 1M geometry — 6.34 vs 6.37 s at sub
+            # widths 128/256/512 — the tournament there is scan-
+            # bound, not selection-bound; chunk-wide slots stay.)
+            ts = chunk
+            t = min(ts, max(16, k))
+            nslots = buf.shape[1] // ts
+            b3 = (-buf).reshape(block, nslots, ts)
+            neg1, i1 = lax.top_k(b3, t)               # (block, nslots, t)
+            flat = neg1.reshape(block, nslots * t)
+            neg2, i2 = lax.top_k(flat, min(m, nslots * t))
+            vals = -neg2
+            within = jnp.take_along_axis(
+                i1.reshape(block, nslots * t), i2, axis=1
+            )
+            cidx = (i2 // t) * ts + within
+        else:
+            vals, cidx = lax.approx_min_k(buf, m, recall_target=0.99)
+        pos = row_idx[cidx]         # (block, m): direct flat mapping
 
-            if not rerank:
-                # Scan-score output: the selection scores are already
-                # distance-faithful (exact f32 |x|² + f32-grade q·x under
-                # full-fidelity residual or high-precision f32 scans), so
-                # assembling D² = |x|² − 2q·x + |q|² skips the (block, m, d)
-                # survivor row gather — the dominant width-independent cost
-                # of the 10M search (~0.5 s per m-unit). Selection ran with
-                # m = k, and `vals` is ascending, so outputs are sorted.
-                D2 = vals[:, :k] + qn[:, None]
-                D2 = jnp.where(
-                    vals[:, :k] >= MASK_VALUE * 0.5, MASK_VALUE, D2
-                )
-                return D2, ids_sorted[pos[:, :k]]
+        if not rerank:
+            # Scan-score output: the selection scores are already
+            # distance-faithful (exact f32 |x|² + f32-grade q·x under
+            # full-fidelity residual or high-precision f32 scans), so
+            # assembling D² = |x|² − 2q·x + |q|² skips the (block, m, d)
+            # survivor row gather — the dominant width-independent cost
+            # of the 10M search (~0.5 s per m-unit). Selection ran with
+            # m = k, and `vals` is ascending, so outputs are sorted.
+            D2 = vals[:, :k] + qn[:, None]
+            D2 = jnp.where(
+                vals[:, :k] >= MASK_VALUE * 0.5, MASK_VALUE, D2
+            )
+            return D2, ids_sorted[pos[:, :k]]
 
         # exact f32 re-rank of the m survivors (difference form: fused VPU,
         # no catastrophic cancellation, no norm gathers)
@@ -1219,6 +1215,15 @@ def _resolve_search_knobs(index, k, nprobe, m, budget, merge, scan_impl,
     (parallel/ivf.py). Returns (nprobe, budget, m_eff, merge, max_ch,
     scan_impl, n_supers, nominate).
     """
+    if scan_impl not in ("xla", "slices", "rows"):
+        # "pallas" was removed in round 4: the fused scan+select kernel's
+        # in-VMEM extract-min was VPU-bound (~14 s vs ~3 s XLA at 1M,
+        # docs/ROUND2_STATUS.md) and every at-scale config demoted it
+        # (split/int8 storage, rerank=False, >4 GB buffers).
+        raise ValueError(
+            f"[TorchDR-TPU] ERROR : unknown scan_impl {scan_impl!r} "
+            "(choose 'xla', 'slices' or 'rows')."
+        )
     chunk = index.chunk
     nlist_total = int(index.centroids.shape[0])
     n_supers = 0 if nprobe_supers is None else int(nprobe_supers)
@@ -1292,17 +1297,11 @@ def _resolve_search_knobs(index, k, nprobe, m, budget, merge, scan_impl,
     # silently lose their tail chunks (observed as recall stuck across
     # nprobe increases)
     max_ch = int(np.ceil(float(np.max(counts_h)) / chunk)) if counts_h.size else 1
-    if index.X_sorted.nbytes > (4 << 30) and scan_impl in ("xla", "pallas"):
+    if index.X_sorted.nbytes > (4 << 30) and scan_impl == "xla":
         # chunked takes from >4 GB buffers crash the TPU AOT compiler —
         # only reachable when split-precision storage was disabled (the
         # bf16 hi plane is half the f32 bytes and stays under the limit)
         scan_impl = "slices"
-    if (
-        index.X_lo is not None or index.scales is not None
-    ) and scan_impl == "pallas":
-        scan_impl = "xla"  # the Pallas kernel has no split/int8 path
-    if not rerank and scan_impl == "pallas":
-        scan_impl = "xla"  # the fused kernel always re-ranks
     return nprobe, budget, m_eff, merge, max_ch, scan_impl, n_supers, nomination
 
 
