@@ -64,12 +64,17 @@ class TestInt8Tier:
         np.testing.assert_array_equal(
             np.asarray(idx8.ids_sorted), np.asarray(idx32.ids_sorted)
         )
-        # exact f32 norms survive quantization
-        Xs32 = np.asarray(idx32.X_sorted)
+        # xnorm2 = norms of the RECONSTRUCTED rows (consistent quantized
+        # geometry — exact norms against quantized cross terms were a
+        # recall bug at 10M density; see _int8_quant_seg_jit)
+        q8 = np.asarray(idx8.X_sorted, np.float32)
+        cells = np.asarray(idx8.cells_sorted)
+        recon = (q8 * np.asarray(idx8.scales)[cells]
+                 + np.asarray(idx8.centroids)[cells])
         np.testing.assert_allclose(
             np.asarray(idx8.xnorm2),
-            np.einsum("ij,ij->i", Xs32, Xs32),
-            rtol=1e-5, atol=1e-3,
+            np.einsum("ij,ij->i", recon, recon),
+            rtol=1e-4, atol=1e-2,
         )
 
     def test_reconstruction_error_bounded(self, clustered):

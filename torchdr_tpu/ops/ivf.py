@@ -102,8 +102,11 @@ class IVFIndex(NamedTuple):
     # scan a dense matmul at ¼ the resident bytes of f32 — and, unlike
     # IVFPQ's 20-33% recall ceiling on clustered data
     # (reference benchmarks/faiss/BENCHMARK_RESULTS.md:11-13), int8
-    # residuals keep ≥99% recall (scan scores carry exact f32 |x|²; only
-    # the cross term q·r is quantized).
+    # residuals hold ~98% recall even at 10M density. xnorm2 carries the
+    # norms of the RECONSTRUCTED rows |c + s·q|², so scan scores are
+    # exactly squared distances to the reconstructed points — consistent
+    # quantized geometry (see _int8_quant_seg_jit for why exact norms
+    # were a recall bug).
 
 
 def auto_nlist(n: int) -> int:
@@ -534,14 +537,27 @@ def _int8_scale_seg_jit(scales, x, cells, centroids, ids, a, seg):
 @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("seg",))
 def _int8_quant_seg_jit(q8, xn, x, cells, centroids, scales, a, seg):
     """Quantize one row segment: q = round(clip(r/s, ±127)) int8, plus the
-    exact f32 row norms (written in place, donated outputs)."""
+    f32 norms of the RECONSTRUCTED rows |c + s·q|² (written in place,
+    donated outputs).
+
+    Reconstructed — NOT exact — norms are load-bearing: the scan scores
+    |x|² − 2·q·x_quant, and an exact |x|² against a quantized cross term
+    injects a per-row bias ~2·x·ε that swamps the tiny neighbor gaps of
+    dense sets (measured round 4 at 10M: 88.8% recall with exact norms vs
+    the quantizer's own 98.2% ceiling — `benchmarks/_int8_ceiling.py`
+    scores against the reconstructed points CONSISTENTLY and recovers
+    it). With |c + s·q|² the score is exactly the squared distance to the
+    reconstructed point (plus the per-query constant), i.e. unbiased
+    nearest-neighbor ordering in the quantized geometry."""
     x_seg = lax.dynamic_slice_in_dim(x, a, seg, 0)
     c_seg = lax.dynamic_slice_in_dim(cells, a, seg, 0)
-    r = x_seg - centroids[c_seg]
+    cent_seg = centroids[c_seg]
+    r = x_seg - cent_seg
     q = jnp.clip(jnp.round(r / scales[c_seg]), -127.0, 127.0).astype(jnp.int8)
+    recon = cent_seg + q.astype(jnp.float32) * scales[c_seg]
     return (
         lax.dynamic_update_slice_in_dim(q8, q, a, 0),
-        lax.dynamic_update_slice_in_dim(xn, jnp.sum(x_seg * x_seg, -1), a, 0),
+        lax.dynamic_update_slice_in_dim(xn, jnp.sum(recon * recon, -1), a, 0),
     )
 
 
@@ -577,13 +593,15 @@ def _int8_quantize_host(Xs_h, cells_h, cent_h, ids_h, offs_rows):
     zeroed in the residual first, so they cannot pollute the scales; empty
     cells pick up a neighboring row's stats (reduceat's empty-segment
     convention), which is harmless — they are never probed."""
-    xn = np.einsum("ij,ij->i", Xs_h, Xs_h).astype(np.float32)
     R = Xs_h - cent_h[cells_h]
     R[ids_h < 0] = 0.0
     idx = np.minimum(offs_rows, max(0, R.shape[0] - 1)).astype(np.intp)
     scales = np.maximum.reduceat(np.abs(R), idx, axis=0).astype(np.float32)
     scales = np.maximum(scales, 1e-12) / 127.0
     q8 = np.clip(np.round(R / scales[cells_h]), -127, 127).astype(np.int8)
+    # reconstructed-row norms, NOT exact norms — see _int8_quant_seg_jit
+    recon = cent_h[cells_h] + q8.astype(np.float32) * scales[cells_h]
+    xn = np.einsum("ij,ij->i", recon, recon).astype(np.float32)
     return q8, scales, xn
 
 
