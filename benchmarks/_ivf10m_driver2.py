@@ -69,31 +69,46 @@ def _gen_seg(out, centers, key, a, seg):
 
 
 def reconstruct_rows(idx):
-    """f32 database rows (sorted layout order) from a residual index."""
+    """f32 database rows in ORIGINAL row order from an index.
+
+    Unpermutes the sorted layout through ids_sorted (dead pad rows land
+    on a spill slot and are dropped): the rebuilt index's self-query
+    outputs then stay aligned with the cached ground truth. A
+    layout-order rebuild is silently catastrophic twice over — recall
+    reads ~0.001 (id spaces differ) and ~10% of the db becomes phantom
+    centroid-copies (dead rows reconstruct to exactly the cell centroid).
+    Measured CPU repro: first build 1.0, layout-order rebuild 0.001,
+    unpermuted rebuild 1.0. Caller must free the source index BEFORE
+    slicing off the spill row (peak = out + planes otherwise).
+    """
     if idx.scales is not None:
         raise ValueError(
             "int8 reconstruction is lossy — rebuild from a split/f32 index "
             "instead (order int8 builds last)."
         )
-    if idx.X_lo is None:
-        return idx.X_sorted, idx.ids_sorted
     total, d = idx.X_sorted.shape
+    n = idx.n
+    residual = idx.X_lo is not None
     seg = 1 << 21
 
     @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("seg",))
-    def rec_seg(out, hi, lo, cells, cent, a, seg):
+    def rec_seg(out, hi, lo, cells, cent, ids, a, seg):
         h = lax.dynamic_slice_in_dim(hi, a, seg, 0).astype(jnp.float32)
-        l = lax.dynamic_slice_in_dim(lo, a, seg, 0).astype(jnp.float32)
-        c = cent[lax.dynamic_slice_in_dim(cells, a, seg, 0)]
-        return lax.dynamic_update_slice_in_dim(out, h + l + c, a, 0)
+        if residual:
+            h = h + lax.dynamic_slice_in_dim(lo, a, seg, 0).astype(jnp.float32)
+            h = h + cent[lax.dynamic_slice_in_dim(cells, a, seg, 0)]
+        ids_s = lax.dynamic_slice_in_dim(ids, a, seg, 0)
+        sid = jnp.where(ids_s >= 0, ids_s, n)
+        return out.at[sid].set(h)
 
-    out = jnp.zeros((total, d), jnp.float32)
+    out = jnp.zeros((n + 1, d), jnp.float32)
     starts = list(range(0, total - seg, seg)) + [max(0, total - seg)]
     for a in starts:
         out = rec_seg(out, idx.X_sorted, idx.X_lo, idx.cells_sorted,
-                      idx.centroids, jnp.asarray(a, jnp.int32), min(seg, total))
+                      idx.centroids, idx.ids_sorted,
+                      jnp.asarray(a, jnp.int32), min(seg, total))
     out.block_until_ready()
-    return out, idx.ids_sorted
+    return out
 
 
 def main():
@@ -146,8 +161,13 @@ def main():
         else:
             idx_old = state["index"]
             state["index"] = None
-            src, _ = reconstruct_rows(idx_old)
+            src_full = reconstruct_rows(idx_old)
+            n_old = idx_old.n
             del idx_old
+            gc.collect()
+            src = src_full[:n_old]
+            src.block_until_ready()
+            del src_full
             gc.collect()
         kwargs = dict(n_clusters=16384, chunk=128, kmeans_iters=15,
                       verbose=True)

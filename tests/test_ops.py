@@ -418,6 +418,67 @@ class TestIVF:
 
         assert auto_nlist(1_000_000) > 100
 
+    def test_balance_allocate_waterfill(self):
+        from torchdr_tpu.ops.ivf import _balance_allocate
+
+        counts = np.array([1000, 100, 100, 1], np.int64)
+        e = _balance_allocate(counts, 9)
+        assert e.sum() == 9
+        # the heavy cell absorbs most extras; post-split max share is
+        # minimized: 1000/(e0+1) should be ~ the next-largest share
+        assert e[0] >= 7
+        assert e[3] == 0  # a 1-row cell can't split
+        # never more parts than members
+        assert (e + 1 <= np.maximum(counts, 1)).all()
+
+    def test_balance_split_shrinks_max_cell_keeps_recall(self):
+        """balance_extra splits oversized cells (seeded from their own
+        members + one reassignment pass) without hurting recall, with
+        supers relabeling kept consistent."""
+        from torchdr_tpu.ops.ivf import ivf_build, ivf_knn
+
+        rng = np.random.default_rng(11)
+        centers = rng.normal(scale=8.0, size=(20, 16)).astype(np.float32)
+        # skewed cluster masses → a few fat cells under nlist=32
+        sizes = (np.array([0.35, 0.2] + [0.45 / 18] * 18) * 6000).astype(int)
+        X = jnp.asarray(
+            np.concatenate(
+                [c + rng.normal(size=(s, 16)) for c, s in zip(centers, sizes)]
+            ).astype(np.float32)
+        )
+        n = int(X.shape[0])
+        kw = dict(n_clusters=32, n_superlist=8, kmeans_iters=8)
+        idx0 = ivf_build(X, balance_extra=0, **kw)
+        idx1 = ivf_build(X, balance_extra=16, **kw)
+        c0 = int(np.max(np.asarray(idx0.counts)))
+        c1 = int(np.max(np.asarray(idx1.counts)))
+        assert idx1.centroids.shape[0] > idx0.centroids.shape[0]
+        assert c1 < c0
+        # layout invariants hold after the relabel: per-cell ids live in
+        # [offsets[c], offsets[c]+counts[c]) and reconstruct the data
+        offs = np.asarray(idx1.offsets)
+        cnts = np.asarray(idx1.counts)
+        ids = np.asarray(idx1.ids_sorted)
+        got = np.sort(ids[ids >= 0])
+        assert np.array_equal(got, np.arange(n))
+        for c in (int(np.argmax(cnts)), 0):
+            seg = ids[offs[c]: offs[c] + cnts[c]]
+            assert (seg >= 0).all()
+        d0, i0 = knn_graph(X, k=10)
+        rec = []
+        # nprobe scales with the cell count: smaller cells cover less mass
+        # per probe — the probe budget buys the same scanned FRACTION
+        # (measured here: balanced recall 0.955@10 → 0.9973@14 while the
+        # max cell halves; the flagship auto-balance only adds nlist/8)
+        for idx, np_ in ((idx0, 10), (idx1, 15)):
+            d1, i1 = ivf_knn(None, k=10, nprobe=np_, index=idx)
+            i0n, i1n = np.asarray(i0), np.asarray(i1)
+            rec.append(
+                np.mean([len(set(i0n[j]) & set(i1n[j])) / 10 for j in range(n)])
+            )
+        assert rec[1] > 0.97
+        assert rec[1] >= rec[0] - 0.02
+
     def test_tight_budget_rank_order_recall(self):
         """Under a budget too small for the probed cells, the rank-major
         expansion (near cells keep full depth, far cells lose theirs)

@@ -114,6 +114,29 @@ def auto_nlist(n: int) -> int:
     return int(max(16, min(4 * (n ** 0.5), n / 39, 8192)))
 
 
+def _balance_allocate(counts_h: np.ndarray, extras: int) -> np.ndarray:
+    """Greedy water-filling of ``extras`` split centroids over cells.
+
+    Each extra goes to the cell with the largest residual share
+    count/(e+1) — minimizing the post-split maximum cell size. A cell
+    never receives more extras than members−1 (can't split a c-row cell
+    into more than c parts). Host-side; O(extras·log nlist).
+    """
+    import heapq
+
+    e = np.zeros(counts_h.shape[0], np.int64)
+    heap = [(-float(c), int(i)) for i, c in enumerate(counts_h) if c > 1]
+    heapq.heapify(heap)
+    for _ in range(int(extras)):
+        if not heap:
+            break
+        _, i = heapq.heappop(heap)
+        e[i] += 1
+        if e[i] + 1 < counts_h[i]:
+            heapq.heappush(heap, (-counts_h[i] / (e[i] + 1.0), i))
+    return e
+
+
 #: fallback device-memory budget for the build's 2×-data transient permute
 #: (v5e HBM is 16 GB; leave headroom for XLA workspace + fragmentation)
 _PERMUTE_HBM_BUDGET = 13 << 30
@@ -133,6 +156,33 @@ def _permute_hbm_budget() -> int:
     return _PERMUTE_HBM_BUDGET
 
 
+def _lloyd_means(X, labels_h: np.ndarray, centroids, is_host: bool):
+    """One full-data Lloyd mean update; empty cells keep their centroid."""
+    nlist, d = centroids.shape
+    counts = np.bincount(labels_h, minlength=nlist).astype(np.float32)
+    if is_host:
+        try:
+            import torch
+
+            sums_t = torch.zeros((nlist, d), dtype=torch.float32)
+            sums_t.index_add_(
+                0, torch.from_numpy(labels_h.astype(np.int64)),
+                torch.from_numpy(np.ascontiguousarray(X, np.float32)),
+            )
+            sums = jnp.asarray(sums_t.numpy())
+        except ImportError:
+            sums_h = np.zeros((nlist, d), np.float32)
+            np.add.at(sums_h, labels_h, np.asarray(X, np.float32))
+            sums = jnp.asarray(sums_h)
+    else:
+        sums = jax.ops.segment_sum(
+            X.astype(jnp.float32), jnp.asarray(labels_h), num_segments=nlist
+        )
+    cnt = jnp.asarray(counts)[:, None]
+    return jnp.where(cnt > 0, sums / jnp.maximum(cnt, 1.0),
+                     centroids.astype(jnp.float32))
+
+
 def ivf_build(
     X,
     n_clusters: int | None = None,
@@ -145,8 +195,20 @@ def ivf_build(
     split_bytes: int = 4 << 30,
     n_superlist: int | None = None,
     storage: str = "auto",
+    balance_extra: int | None = None,
 ) -> IVFIndex:
     """Build the inverted file index (host-synced shapes; build once).
+
+    ``balance_extra`` caps cell imbalance: after the first assignment the
+    heaviest cells are split by seeding up to that many extra centroids
+    from their own members (greedy water-filling on cell mass) and
+    reassigning once. A sample-trained coarse quantizer otherwise leaves
+    cells 25×+ the mean (10M×128 @ nlist=16384: max 16 224 rows = 127
+    chunks), which eat the scan budget and lose their tail chunks under
+    tight budgets. Default ``None``: nlist//8 extras at n ≥ 1M, 0 below.
+    Role of Faiss's balanced-clustering guidance for IVF training
+    (reference: torchdr/distance/faiss.py builds flat IVF with
+    faiss-default kmeans; imbalance handling is left to nprobe there).
 
     ``storage`` selects the database representation:
 
@@ -227,22 +289,6 @@ def ivf_build(
     centroids.block_until_ready()
     _mark("kmeans")
 
-    # Two-level coarse quantizer for hierarchical nomination: k-means the
-    # centroids themselves into supers + fixed-width member lists. Cheap
-    # (nlist points) and only worth carrying once nlist is in the
-    # thousands (the per-block nomination cost it removes scales ~nlist).
-    if n_superlist is None:
-        n_superlist = max(32, nlist // 64) if nlist >= 1024 else 0
-    if n_superlist and n_superlist < nlist:
-        perm_s, supers, members = _build_supers(centroids, int(n_superlist), key)
-        centroids = centroids[perm_s]  # relabel: supers = contiguous id ranges
-        _mark("supers")
-    else:
-        supers = members = None
-    cell_adj = _build_cell_adjacency(centroids)
-    if cell_adj is not None:
-        _mark("cell adjacency")
-
     # Device-resident big build: when the dataset + a second permute buffer
     # fit HBM, push ONCE (segmented) and keep everything on device — the
     # host-permute path crosses the thin axon link three times (assign
@@ -255,17 +301,100 @@ def ivf_build(
         is_host = False
         _mark("push dataset")
 
-    if is_host:
-        labels_h = _assign_host_segmented(X, centroids)
-        labels = None
-        counts = jnp.asarray(
-            np.bincount(labels_h, minlength=nlist).astype(np.int32)
-        )
-    else:
-        labels = _assign_blockwise(X, centroids)
-        labels_h = np.asarray(labels)  # (n,) int32 — small pull
-        counts = jnp.zeros((nlist,), jnp.int32).at[labels].add(1)
+    def _assign(cent):
+        if is_host:
+            lab = _assign_host_segmented(X, cent)
+        else:
+            lab = np.asarray(_assign_blockwise(X, cent))  # small pull
+        return lab, np.bincount(lab, minlength=cent.shape[0]).astype(np.int64)
+
+    labels_h, counts_h64 = _assign(centroids)
     _mark("assign")
+
+    if balance_extra is None:
+        # a sample-trained coarse quantizer leaves heavy cells (measured
+        # 10M×128 @ nlist=16384: max cell 16 224 rows = 127 chunks vs a
+        # 610-row mean) that both eat the scan budget and lose their tail
+        # chunks under tight budgets — the 10M recall cliff at budget≲96.
+        # Splitting them costs one extra assignment pass.
+        balance_extra = nlist // 8 if n >= (1 << 20) else 0
+    balance_extra = int(min(balance_extra, max(0, n - nlist)))
+    if balance_extra > 0:
+        e = _balance_allocate(counts_h64, balance_extra)
+        order0 = np.argsort(labels_h, kind="stable")
+        raw = np.concatenate([[0], np.cumsum(counts_h64)[:-1]])
+        seed_idx, seed_cell = [], []
+        for i in np.nonzero(e)[0]:
+            mem = order0[raw[i]: raw[i] + counts_h64[i]]
+            pos = np.linspace(0, len(mem) - 1, e[i] + 2)[1:-1].astype(np.int64)
+            pos = np.unique(pos)
+            seed_idx.append(mem[pos])
+            seed_cell.append(np.full(len(pos), i, np.int64))
+        if seed_idx:
+            seed_idx = np.concatenate(seed_idx)
+            seed_cell = np.concatenate(seed_cell)
+            prev_max = int(counts_h64.max())
+            members = (
+                jnp.asarray(np.ascontiguousarray(X[seed_idx], np.float32))
+                if is_host
+                else jnp.take(X, jnp.asarray(seed_idx, jnp.int32), axis=0)
+            )
+            # Seed at centroid + ε·(member − centroid), NOT at the member:
+            # a tight cell's members live on a shell √d from its mean, so
+            # every point is closer to the retained mean-centroid than to
+            # any member (√d vs √2d) and a member-seeded split captures
+            # nothing in high d. ε-cones through the centroid partition
+            # the cell by projection direction at any dimension (the
+            # Faiss big-cluster ε-split, generalized to e seeds whose
+            # directions come from the cell's own members).
+            home = centroids[jnp.asarray(seed_cell, jnp.int32)]
+            seeds = home + 0.25 * (members.astype(jnp.float32) - home)
+            centroids = jnp.concatenate(
+                [centroids, seeds.astype(centroids.dtype)], axis=0
+            )
+            nlist = int(centroids.shape[0])
+            labels_h, counts_h64 = _assign(centroids)
+            # One full-data Lloyd step, then a final assignment: the cone
+            # seeds sit ε from the old centroid, so their raw Voronoi
+            # sectors cut straight through neighborhoods (measured: recall
+            # 0.98 → 0.946 on the 6k CPU gate without this). The mean
+            # update moves each seed to the center of the mass it
+            # captured, turning angular sectors into spatial sub-clusters;
+            # it also full-data-refines every OTHER centroid for free
+            # (kmeans only ever saw the training sample).
+            centroids = _lloyd_means(X, labels_h, centroids, is_host)
+            labels_h, counts_h64 = _assign(centroids)
+            if verbose:
+                print(
+                    f"[ivf_build] balance: +{len(seed_idx)} cells, "
+                    f"max cell {prev_max} -> {int(counts_h64.max())}",
+                    flush=True,
+                )
+            _mark("balance split")
+
+    # Two-level coarse quantizer for hierarchical nomination: k-means the
+    # centroids themselves into supers + fixed-width member lists. Cheap
+    # (nlist points) and only worth carrying once nlist is in the
+    # thousands (the per-block nomination cost it removes scales ~nlist).
+    # Built AFTER the balance split so super membership covers the final
+    # cell table; the contiguous-range relabel is applied to the labels.
+    if n_superlist is None:
+        n_superlist = max(32, nlist // 64) if nlist >= 1024 else 0
+    if n_superlist and n_superlist < nlist:
+        perm_s, supers, members = _build_supers(centroids, int(n_superlist), key)
+        centroids = centroids[perm_s]  # relabel: supers = contiguous id ranges
+        inv_perm = np.empty((nlist,), np.int64)
+        inv_perm[np.asarray(perm_s)] = np.arange(nlist)
+        labels_h = inv_perm[labels_h].astype(np.int32)
+        counts_h64 = counts_h64[np.asarray(perm_s)]
+        _mark("supers")
+    else:
+        supers = members = None
+    cell_adj = _build_cell_adjacency(centroids)
+    if cell_adj is not None:
+        _mark("cell adjacency")
+
+    counts = jnp.asarray(counts_h64.astype(np.int32))
 
     if align:
         counts_h = np.bincount(labels_h, minlength=nlist).astype(np.int64)
