@@ -171,11 +171,6 @@ def bench_pl_2level(Z, idx, grp=32):
     return timeit(run, Z, idx)
 
 
-def check(Z, idx, run_ids):
-    """Correctness: compare one variant's output against the XLA gather."""
-    pass
-
-
 def main():
     key = jax.random.PRNGKey(0)
     n_edges = N * W
@@ -187,11 +182,9 @@ def main():
                       "ms": round(t * 1e3, 2),
                       "ns_per_idx": round(t / n_edges * 1e9, 3)}), flush=True)
 
+    # Timing-only harness: kernel correctness is covered by the shipped
+    # bucketed-gather op's unit tests (tests/), not re-checked here.
     Zb, idx = make_bucketed(key, n_edges)
-    # correctness reference for the first 2 buckets
-    ref = np.stack([
-        np.asarray(Zb[b])[np.asarray(idx[b]).reshape(-1)] for b in range(2)
-    ])
     for name, fn in [("pl_take", bench_pl_take),
                      ("pl_onehot", bench_pl_onehot),
                      ("pl_2level", bench_pl_2level)]:

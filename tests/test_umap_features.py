@@ -222,6 +222,9 @@ class TestBandSchedule:
         ).astype(int)
         eons = eps_vals.copy()
         fires = np.zeros_like(eps_vals)
+        # eps=inf rows never fire (c==0 there), so dividing/multiplying by
+        # a sanitized eps is exact and keeps the mirror warning-clean
+        eps_safe = np.where(np.isfinite(eps_vals), eps_vals, 1.0)
         for it in range(T):
             tz = UMAP._N_BANDS - 1 if it == 0 else min(
                 (it & -it).bit_length() - 1, UMAP._N_BANDS - 1)
@@ -229,8 +232,8 @@ class TestBandSchedule:
             now = it + 1.0
             due = now - eons
             c = np.where((due >= 0) & visited & np.isfinite(eps_vals),
-                         np.floor(due / eps_vals) + 1.0, 0.0)
-            eons = eons + c * eps_vals
+                         np.floor(due / eps_safe) + 1.0, 0.0)
+            eons = eons + c * eps_safe
             fires += c
         exact = np.where(np.isfinite(eps_vals),
                          np.floor(T / eps_vals), 0.0)
@@ -244,8 +247,8 @@ class TestBandSchedule:
             visited = bands <= tz
             due = it + 1.0 - eons
             c = np.where((due >= 0) & visited & np.isfinite(eps_vals),
-                         np.floor(due / eps_vals) + 1.0, 0.0)
-            eons = eons + c * eps_vals
+                         np.floor(due / eps_safe) + 1.0, 0.0)
+            eons = eons + c * eps_safe
             fires += c
         assert np.all(fires >= exact), (fires, exact)
 
