@@ -33,29 +33,37 @@ B200_IVF_S = 2.90
 
 
 def _run_child() -> dict:
+    from torchdr_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax
-
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception:
-        pass
-
     import numpy as np
     import jax.numpy as jnp
 
     from torchdr_tpu.ops.distance import knn_graph
     from torchdr_tpu.ops.ivf import ivf_build, ivf_knn
 
+    def force(x):
+        # axon-relay block_until_ready does not synchronize; a scalar
+        # reduction pulled to host does
+        return float(jnp.sum(jnp.where(jnp.isfinite(x), x, 0)))
+
+    # Clustered data generated ON DEVICE (the reference benchmark's 1000
+    # Gaussian clusters, scale 10, unit noise): the host→device link is
+    # environment noise (measured 15-370 MB/s across sessions — a 512 MB
+    # push is 1.4-170 s) and must not leak into build_s via the build's
+    # first host sync.
     rng = np.random.default_rng(0)
-    centers = rng.normal(scale=10.0, size=(1000, D)).astype(np.float32)
-    X = jnp.asarray(
-        centers[rng.integers(0, 1000, N)] + rng.normal(size=(N, D)).astype(np.float32)
-    )
+    centers = jnp.asarray(rng.normal(scale=10.0, size=(1000, D)).astype(np.float32))
+    key = jax.random.key(0)
+    lab = jax.random.randint(key, (N,), 0, 1000)
+    X = centers[lab] + jax.random.normal(jax.random.fold_in(key, 1), (N, D))
+    force(X)
 
     t0 = time.perf_counter()
     index = ivf_build(X, n_clusters=NLIST, kmeans_iters=20)
+    force(index.X_sorted)
     build_s = time.perf_counter() - t0
 
     # warm-up (compile), then timed search
@@ -120,6 +128,8 @@ def main():
         "value": round(search_s, 3),
         "unit": "s",
         "vs_baseline": round(B200_IVF_S / search_s, 3),
+        "build_s": round(result["build_s"], 3),
+        "recall": round(result["recall"], 5),
     }))
 
 

@@ -94,6 +94,34 @@ class TestInt8Tier:
         _, ids = ivf_knn(None, k=10, nprobe=8, index=idx)
         assert _recall(np.asarray(ids), truth) > 0.95
 
+    def test_asymmetric_scoring(self, clustered, truth):
+        """scoring="asymmetric" scores exact f32 queries against the
+        quantized db (the Faiss ADC convention) — never worse than
+        symmetric reconstruction, and it must also exercise the segmented
+        path (seg_rows < n) since that's the shape 10M takes."""
+        idx = ivf_build(clustered, n_clusters=32, storage="int8", chunk=128)
+        _, ids_sym = ivf_knn(None, k=10, nprobe=8, index=idx)
+        _, ids_asym = ivf_knn(
+            clustered, k=10, nprobe=8, index=idx, scoring="asymmetric"
+        )
+        r_sym = _recall(np.asarray(ids_sym), truth, step=1)
+        r_asym = _recall(np.asarray(ids_asym), truth, step=1)
+        assert r_asym >= r_sym - 1e-9
+        assert r_asym > 0.95
+        # segmented query path (multiple _ivf_search dispatches)
+        _, ids_seg = ivf_knn(
+            clustered, k=10, nprobe=8, index=idx, scoring="asymmetric",
+            seg_rows=2048,
+        )
+        assert np.array_equal(np.asarray(ids_seg), np.asarray(ids_asym))
+
+    def test_asymmetric_requires_x(self, clustered):
+        idx = ivf_build(clustered, n_clusters=32, storage="int8", chunk=128)
+        with pytest.raises(ValueError, match="asymmetric"):
+            ivf_knn(None, k=10, index=idx, scoring="asymmetric")
+        with pytest.raises(ValueError, match="scoring"):
+            ivf_knn(clustered, k=10, index=idx, scoring="adc")
+
     def test_cross_query_small_set_coverage(self, clustered, truth):
         """Small/spread query sets pack many home cells per block; the
         auto-boosted probe count must keep per-query coverage (was 25%

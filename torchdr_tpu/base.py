@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .utils.compile_cache import enable_compile_cache
 from .utils.logger import get_logger
 from .utils.wrappers import (
     deduplicate,
@@ -100,6 +101,9 @@ class DRModule(BaseEstimator, ABC):
         self.verbose = verbose
         self.random_state = random_state
         self.process_duplicates = process_duplicates
+        # cold XLA compiles ARE the first-fit time (283 s vs 82 s warm at
+        # the 1.3M flagship) — persist them across processes
+        enable_compile_cache()
         self.logger = get_logger(type(self).__name__, verbose)
         self.embedding_ = None
         self.is_fitted_ = False

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..utils.compile_cache import enable_compile_cache
 from .metrics import MASK_VALUE, check_metric, indexed_block, pairwise_block
 
 
@@ -97,6 +98,7 @@ def knn_graph(
 
     Returns ``(dists, indices)`` of shape ``(n, k)``.
     """
+    enable_compile_cache()
     check_metric(metric)
     self_mode = Y is None
     Yc = X if self_mode else Y

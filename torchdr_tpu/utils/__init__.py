@@ -1,5 +1,6 @@
 """Numeric and framework utilities."""
 
+from .compile_cache import compile_cache_dir, enable_compile_cache
 from .logger import get_logger, log_phase
 from .optim import lbfgs_minimize, make_optimizer, normalize_optimizer_kwargs
 from .schedulers import make_scheduler
