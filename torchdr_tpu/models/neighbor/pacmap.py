@@ -155,11 +155,21 @@ class PACMAP(NegativeSamplingNeighborEmbedding):
         n = consts["n"]
         active = w_MN > 0
         R = self.mn_resample_every
+
+        def _mid_term(mid_near):
+            Q_mid = 1.0 + pairwise_distances_indexed(
+                Z, key_indices=mid_near, metric="sqeuclidean"
+            )
+            return w_MN * jnp.sum(Q_mid / (1e4 + Q_mid))
+
+        # The (n, n_mid_near) embedding gather ALSO runs under the cond:
+        # in phase 3 (w_MN = 0, 250 of 450 steps) neither the draw nor the
+        # Q_mid term does any work.
         if R == 1:
-            mid_near = lax.cond(
+            mid_loss = lax.cond(
                 active,
-                lambda k: self._draw_mid_near(X, n, k),
-                lambda k: jnp.zeros((n, self.n_mid_near), jnp.int32),
+                lambda k: _mid_term(self._draw_mid_near(X, n, k)),
+                lambda k: jnp.asarray(0.0, Z.dtype),
                 key,
             )
         else:
@@ -171,10 +181,12 @@ class PACMAP(NegativeSamplingNeighborEmbedding):
                 key,
             )
             carry = dict(carry, mid_near=mid_near)
-        Q_mid = 1.0 + pairwise_distances_indexed(
-            Z, key_indices=mid_near, metric="sqeuclidean"
-        )
-        mid_loss = w_MN * jnp.sum(Q_mid / (1e4 + Q_mid))
+            mid_loss = lax.cond(
+                active,
+                _mid_term,
+                lambda mn: jnp.asarray(0.0, Z.dtype),
+                mid_near,
+            )
         return near_loss + mid_loss, carry
 
     def _repulsive_loss(self, Z, consts, carry, it, key):

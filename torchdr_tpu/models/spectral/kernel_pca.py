@@ -175,9 +175,11 @@ class KernelPCA(DRModule):
         cols = jnp.arange(n)
         _SHIFT = 1e-3  # PD shift: centered PSD kernel has eigvals ≥ 0
 
-        def _kernel_block(Xb, row0):
-            """Kernel rows [row0, row0+block) against all n columns."""
-            C = pairwise_block(Xb, X, metric)
+        def _kernel_block(Xb, row0, Xcols):
+            """Kernel rows [row0, row0+block) against all n columns
+            (``Xcols``, passed explicitly so the mesh path ships X once as
+            a replicated operand rather than again as a jit constant)."""
+            C = pairwise_block(Xb, Xcols, metric)
             if sqrt_metric:
                 C = jnp.sqrt(jnp.maximum(C, 0.0))
             Kb = kern_fn(C)
@@ -209,7 +211,7 @@ class KernelPCA(DRModule):
                 def body(b):
                     Xb = lax.dynamic_slice_in_dim(Xl, b * block, block, axis=0)
                     return jnp.matmul(
-                        _kernel_block(Xb, r0 + b * block),
+                        _kernel_block(Xb, r0 + b * block, Xg),
                         Wc,
                         preferred_element_type=jnp.float32,
                     )
@@ -244,7 +246,7 @@ class KernelPCA(DRModule):
                 def body(b):
                     Xb = lax.dynamic_slice_in_dim(Xp, b * block, block, axis=0)
                     return jnp.matmul(
-                        _kernel_block(Xb, b * block),
+                        _kernel_block(Xb, b * block, X),
                         Wc,
                         preferred_element_type=jnp.float32,
                     )
@@ -257,7 +259,7 @@ class KernelPCA(DRModule):
             def row_sums():
                 def body(b):
                     Xb = lax.dynamic_slice_in_dim(Xp, b * block, block, axis=0)
-                    return jnp.sum(_kernel_block(Xb, b * block), axis=1)
+                    return jnp.sum(_kernel_block(Xb, b * block, X), axis=1)
 
                 return lax.map(body, jnp.arange(n_pad // block)).reshape(-1)[:n]
 

@@ -206,7 +206,11 @@ def ivf_build(
     reassigning once. A sample-trained coarse quantizer otherwise leaves
     cells 25×+ the mean (10M×128 @ nlist=16384: max 16 224 rows = 127
     chunks), which eat the scan budget and lose their tail chunks under
-    tight budgets. Default ``None``: nlist//8 extras at n ≥ 1M, 0 below.
+    tight budgets. Default ``None`` = 0 (off): the round-5 10M A/B
+    (docs/ROUND5_STATUS.md) showed the auto search budget covering the
+    biggest cell reaches HIGHER recall at the same speed, while the
+    split caps the plateau at 0.9988 — balance is for memory-bound
+    tight-budget searches only.
     Role of Faiss's balanced-clustering guidance for IVF training
     (reference: torchdr/distance/faiss.py builds flat IVF with
     faiss-default kmeans; imbalance handling is left to nprobe there).
@@ -314,12 +318,15 @@ def ivf_build(
     _mark("assign")
 
     if balance_extra is None:
-        # a sample-trained coarse quantizer leaves heavy cells (measured
-        # 10M×128 @ nlist=16384: max cell 16 224 rows = 127 chunks vs a
-        # 610-row mean) that both eat the scan budget and lose their tail
-        # chunks under tight budgets — the 10M recall cliff at budget≲96.
-        # Splitting them costs one extra assignment pass.
-        balance_extra = nlist // 8 if n >= (1 << 20) else 0
+        # Round-5 10M A/B (docs/ROUND5_STATUS.md "10M operating point"):
+        # splitting fat cells recovers tight-budget recall (b70: 0.9922 →
+        # 0.9988) but CAPS the recall plateau at 0.9988 (split siblings
+        # fall outside nprobe) and costs build time, while covering the
+        # biggest cell's depth with the search budget (the auto-budget
+        # rule in _resolve_search_knobs) reaches 0.99913 at the SAME
+        # 43.8 s search. Balance is therefore opt-in — for memory-bound
+        # tight-budget searches only.
+        balance_extra = 0
     balance_extra = int(min(balance_extra, max(0, n - nlist)))
     if balance_extra > 0:
         e = _balance_allocate(counts_h64, balance_extra)
@@ -1413,6 +1420,10 @@ def _resolve_search_knobs(index, k, nprobe, m, budget, merge, scan_impl,
     ncells_total = int(index.offsets.shape[0])
     nprobe = min(nprobe, ncells_total)
     counts_h = np.asarray(index.counts, np.float64)
+    # expansion depth must cover the BIGGEST cell, or large home cells
+    # silently lose their tail chunks (observed as recall stuck across
+    # nprobe increases)
+    max_ch = int(np.ceil(float(np.max(counts_h)) / chunk)) if counts_h.size else 1
     if budget is None:
         # expected chunks over the probed cells: cells are probed roughly
         # in proportion to their mass (queries live inside them), so use
@@ -1425,6 +1436,13 @@ def _resolve_search_knobs(index, k, nprobe, m, budget, merge, scan_impl,
         else:
             sb_chunks = 1.0
         budget = int(np.ceil(nprobe * max(1.0, sb_chunks)) + 4)
+        # ...and at least full home-cell coverage: a sample-trained coarse
+        # quantizer leaves fat cells (10M×128 @ nlist=16384: max cell
+        # 16 224 rows = 127 chunks vs a 610-row mean) whose truncation is
+        # the tight-budget recall cliff (b70: 0.9922 vs b128: 0.99913 —
+        # docs/ROUND5_STATUS.md 10M sweep). b128 was ALSO the fastest
+        # measured budget at 10M (power-of-two budget·chunk layout).
+        budget = max(budget, max_ch + 1)
     budget = min(budget, (index.X_sorted.shape[0] - chunk) // chunk + 1)
     if not rerank:
         # scan-score output: selection IS the final ranking, so the margin
@@ -1447,10 +1465,6 @@ def _resolve_search_knobs(index, k, nprobe, m, budget, merge, scan_impl,
         # binned/quantized scores must stay inside the exactly-re-ranked
         # m survivors
         m_eff = max(2 * k, 64 if index.X_lo is not None else 32)
-    # expansion depth must cover the BIGGEST cell, or large home cells
-    # silently lose their tail chunks (observed as recall stuck across
-    # nprobe increases)
-    max_ch = int(np.ceil(float(np.max(counts_h)) / chunk)) if counts_h.size else 1
     if index.X_sorted.nbytes > (4 << 30) and scan_impl == "xla":
         # chunked takes from >4 GB buffers crash the TPU AOT compiler —
         # only reachable when split-precision storage was disabled (the
@@ -1716,8 +1730,16 @@ def ivf_knn_queries(
     # semantics; budget scales with it in _resolve_search_knobs.
     nq_real = int(np.asarray(Q.shape[0]))
     nlist_t = int(index.centroids.shape[0])
-    homes_pb = int(np.ceil(block * min(nlist_t, max(1, nq_real)) / max(1, nq_real)))
-    homes_pb = max(1, min(block, homes_pb))
+    if sort_queries:
+        homes_pb = int(
+            np.ceil(block * min(nlist_t, max(1, nq_real)) / max(1, nq_real))
+        )
+        homes_pb = max(1, min(block, homes_pb))
+    else:
+        # unsorted blocks are incoherent regardless of query density: any
+        # block can span up to `block` distinct home cells, so the density
+        # estimate (valid only for cell-sorted queries) would under-probe
+        homes_pb = min(block, nlist_t)
     nprobe_eff = min(nlist_t, int(nprobe) * homes_pb)
     if homes_pb > 8 and nomination is None:
         # adjacency nomination samples ≤8 home positions per block —
@@ -1729,6 +1751,13 @@ def ivf_knn_queries(
             nomination, has_q_cells=sort_queries, rerank=rerank,
         )
     )
+    # The boost is per-BLOCK shared-probe compensation, so tiny query sets
+    # against big indexes inflate budget toward a full-database scan whose
+    # (block, budget·chunk) f32 score buffer is multi-GB. Cap the buffer at
+    # ~1 GB: coverage per query stays ≥ the full block's worth of shared
+    # slots (small nq ⇒ few blocks, each scanning up to the cap).
+    budget_cap = max(nprobe, (1 << 30) // (block * index.chunk * 4))
+    budget = min(budget, budget_cap)
     arrays = (
         index.centroids, index.X_sorted, index.ids_sorted, index.offsets,
         index.counts, index.X_lo, index.xnorm2, index.cells_sorted,
