@@ -121,18 +121,43 @@ class TestEdgeGroups:
         assert tdr.silhouette_score(np.asarray(Z), y) > 0.8
 
     def test_catchup_counts(self):
-        """A group visited every G steps must fire ⌈due/eps⌉ bursts so the
+        """The closed-form burst count floor(now/eps) − floor((now−G)/eps)
+        equals the number of fire events k·eps in (now−G, now], so the
         integrated impulse matches the every-step schedule."""
-        from torchdr_tpu.models.neighbor.umap import UMAP
-
-        m = UMAP(n_neighbors=4, max_iter=100, random_state=0, edge_groups=2)
         eps = jnp.asarray([[1.0, 2.5, jnp.inf, 4.0]])
-        eons = eps  # schedule starts at eps
-        # visit at it=7 (now=8): fires = #{k ≥ 1 : k·eps ≤ 8}
-        due = 8.0 - eons
-        c = jnp.where(due >= 0, jnp.floor(due / eps) + 1.0, 0.0)
-        c = jnp.where(jnp.isfinite(eps), c, 0.0)
+        # first visit of this slice covers (0, 8]: fires = #{k ≥ 1 : k·eps ≤ 8}
+        now, period = 8.0, 8.0
+        prev = max(now - period, 0.0)
+        c = jnp.floor(now / eps) - jnp.floor(prev / eps)
         assert np.allclose(np.asarray(c)[0], [8.0, 3.0, 0.0, 2.0])
+
+    def test_closed_form_matches_eons_recurrence(self):
+        """The closed form must reproduce the eons recurrence (eons₀ = eps;
+        due = now − eons; c = ⌊due/eps⌋ + 1 if due ≥ 0; eons += c·eps) at
+        every visit of an every-G-steps schedule, for awkward eps values."""
+        rng = np.random.default_rng(0)
+        # eps = A_max/(P + 1e-3) ≥ ~1 by construction; sub-1 eps (many
+        # fires per step) hit float division-boundary jitter where the two
+        # formulations can differ by one fire — outside the real domain.
+        eps = np.concatenate(
+            [rng.uniform(0.9, 60.0, 40), [np.inf, 1.0, 2.0, 2.5]]
+        )
+        for G in (1, 2, 5, 12):
+            eons = eps.copy()
+            eps_safe = np.where(np.isfinite(eps), eps, 1.0)
+            for it in range(G - 1, 240, G):  # visits of group g = G-1
+                now = it + 1.0
+                due = now - eons
+                c_rec = np.where(
+                    (due >= 0) & np.isfinite(eps),
+                    np.floor(due / eps_safe) + 1.0,
+                    0.0,
+                )
+                eons = eons + c_rec * eps_safe * (c_rec > 0)
+                prev = max(now - G, 0.0)
+                with np.errstate(divide="ignore"):
+                    c_closed = np.floor(now / eps) - np.floor(prev / eps)
+                np.testing.assert_allclose(c_closed, c_rec, err_msg=f"G={G} it={it}")
 
 
 class TestDegreeCap:

@@ -2,11 +2,13 @@
 
 TPU-native UMAP (reference: torchdr/neighbor_embedding/umap.py:39-292).
 Closed-form gradients; the per-edge ``epochs_per_sample`` update schedule —
-a mutated buffer in the reference (umap.py:251-256) — is carried loop state
-inside the single compiled ``lax.while_loop``, and negative sampling draws
-from the threaded PRNG key. Attraction + repulsion together are a handful
-of gathers and fused VPU ops per step; no host round-trips anywhere in the
-fit.
+a mutated buffer in the reference (umap.py:251-256) — is a CLOSED FORM of
+the step counter here (visits of an edge slice happen on a fixed period, so
+the burst count is floor(now/eps) − floor((now−period)/eps); no carried
+state at all) inside the single compiled ``lax.while_loop``, and negative
+sampling draws from the threaded PRNG key. Attraction + repulsion together
+are a handful of gathers and fused VPU ops per step; no host round-trips
+anywhere in the fit.
 """
 
 from __future__ import annotations
@@ -274,7 +276,9 @@ class UMAP(NegativeSamplingNeighborEmbedding):
             P = jnp.take_along_axis(P, order, axis=1)
             NN = jnp.take_along_axis(NN, order, axis=1)
             consts["P"] = P
-            consts["NN"] = NN
+            # gather-safe indices: dead/pad edges (eps=inf → c=0) contribute
+            # zero regardless of which row they gather
+            consts["NN"] = jnp.maximum(NN, 0)
             consts["epochs_per_sample"] = eps_per_sample
             band = jnp.clip(
                 jnp.floor(jnp.log2(jnp.maximum(eps_per_sample, 1.0))),
@@ -301,6 +305,15 @@ class UMAP(NegativeSamplingNeighborEmbedding):
                 widths.append(w)
             widths[-1] = W_full  # every edge rides the last prefix
             consts["band_widths"] = tuple(widths)
+            # fixed per-column visit period 2^z_first(col) (see
+            # _attractive_gradients_bands)
+            cols = np.arange(W_full)
+            zf = np.full(W_full, self._N_BANDS - 1)
+            for z in reversed(range(self._N_BANDS)):
+                zf = np.where(cols < widths[z], z, zf)
+            consts["band_period"] = jnp.asarray(
+                (2.0 ** zf)[None, :], jnp.float32
+            )
             consts["edge_groups_G"] = 1
             consts["edge_group_width"] = 1  # active_edges carries row sums
             if self.verbose:
@@ -317,26 +330,34 @@ class UMAP(NegativeSamplingNeighborEmbedding):
         consts["edge_groups_G"] = G
         W = P.shape[1]
         if G > 1:
-            # Rotating edge groups: step t touches only columns of group
+            # Rotating edge groups: step t touches only the columns of group
             # t % G, cutting the per-step neighbor gather (the measured
             # bottleneck) by G×. Columns are dealt round-robin so each
             # group holds a strength-balanced slice (rows are sorted
             # strongest-first by the pruning above); fire events missed
             # between visits are applied as catch-up bursts (exact total
             # impulse, see _attractive_gradients).
+            #
+            # State is stacked (G, n, W), NOT (n, G·W): the per-step group
+            # slice is then a MAJOR-axis dynamic index (one tile-aligned
+            # contiguous block) instead of a 10-lane column window of a
+            # 120-lane array — the strided column slice + its layout-copy
+            # repack cost ~10 ms/iter at 1.3M (round-5 xplane autopsy).
             k = P.shape[1]
             W = -(-k // G)
             pad = G * W - k
+            n_rows = P.shape[0]
             if pad:
-                P = jnp.concatenate([P, jnp.zeros((P.shape[0], pad), P.dtype)], 1)
+                P = jnp.concatenate([P, jnp.zeros((n_rows, pad), P.dtype)], 1)
                 NN = jnp.concatenate(
-                    [NN, jnp.full((NN.shape[0], pad), -1, NN.dtype)], 1
+                    [NN, jnp.full((n_rows, pad), -1, NN.dtype)], 1
                 )
-            perm = jnp.argsort(jnp.arange(G * W) % G, stable=True)
-            P = P[:, perm]
-            NN = NN[:, perm]
-            consts["NN"] = NN
-            consts["P"] = P  # keep P/NN column-aligned for any consumer
+            # (n, W, G)[:, :, g] = columns g::G — the round-robin deal
+            P = jnp.transpose(P.reshape(n_rows, W, G), (2, 0, 1))
+            NN = jnp.transpose(NN.reshape(n_rows, W, G), (2, 0, 1))
+            consts["P"] = P  # keep P/NN aligned for any consumer
+        # gather-safe indices (see bands path note)
+        consts["NN"] = jnp.maximum(NN, 0)
         consts["edge_group_width"] = W
 
         A_max = jnp.max(P)
@@ -348,27 +369,35 @@ class UMAP(NegativeSamplingNeighborEmbedding):
 
     def _init_carry(self, consts):
         carry = super()._init_carry(consts)
-        carry["epoch_of_next_sample"] = consts["epochs_per_sample"]
         # Attraction computes per-edge fire counts; repulsion consumes them.
+        # (The visit schedule itself is closed-form — no eons carry.)
         W = consts["edge_group_width"]
-        carry["active_edges"] = jnp.zeros(
-            (consts["epochs_per_sample"].shape[0], W), jnp.float32
-        )
+        carry["active_edges"] = jnp.zeros((consts["n"], W), jnp.float32)
         return carry
 
     # --- closed-form gradients (reference: umap.py:236-292) ---
 
-    def _attr_core(self, Z, NN, eps, eons, it):
+    def _attr_core(self, Z, NN, eps, period, it):
         """Closed-form attraction over one (n, W) edge slice.
 
-        Returns (grad, advanced eons, per-edge fire counts c). Exact for ANY
-        visit schedule: fires missed since the last visit are applied as one
-        catch-up burst whose integrated impulse matches the reference's
-        every-step schedule (reference: umap.py:251-256).
+        Returns (grad, per-edge fire counts c). The per-edge update schedule
+        is DETERMINISTIC (visits of this slice happen every ``period``
+        steps), so the reference's mutated ``epoch_of_next_sample`` buffer
+        (reference: umap.py:251-256) has a closed form: the catch-up burst
+        at step ``it`` is the number of fire events k·eps in
+        (now−period, now], i.e. ``floor(now/eps) − floor(max(now−period,0)
+        /eps)`` — algebraically identical to the old eons recurrence
+        (eons₀ = eps; due/floor/advance), with no carried state. The eons
+        carry cost an (n, G·W) f32 loop buffer plus slice/update/copy
+        fusions every step (~9 ms/iter at 1.3M, round-5 xplane autopsy).
+        Exact for ANY fixed-period visit schedule; dead/pad edges carry
+        eps=inf so now/inf = 0 gives c = 0 with no masking.
         """
-        # Gathers dominate this step on TPU (random 8-byte rows); gather the
-        # neighbor embeddings ONCE and derive distances from the same buffer.
-        diff = Z[:, None, :] - Z[jnp.maximum(NN, 0)]
+        # Gather the neighbor embeddings ONCE and derive distances from the
+        # same buffer. NN is pre-clamped in _build_consts (dead/pad edges
+        # carry eps=inf so their c=0 zeroes the contribution) — a per-step
+        # jnp.maximum materialized an (n, W) s32 copy every iteration.
+        diff = Z[:, None, :] - Z[NN]
         D = jnp.sum(diff * diff, axis=-1)
         positive = D > 0
         # single pow: D^(b-1) = D^b / D
@@ -378,17 +407,15 @@ class UMAP(NegativeSamplingNeighborEmbedding):
         )
         coef = jnp.where(positive, coef, 0.0)
 
-        now = jnp.asarray(it + 1, eons.dtype)
-        due = now - eons
-        c = jnp.where(due >= 0, jnp.floor(due / eps) + 1.0, 0.0)
-        c = jnp.where(jnp.isfinite(eps), c, 0.0)
-        # Masked advance: dead edges (eps=inf, c=0) must stay at eons=inf —
-        # an unmasked `c * eps` is 0*inf = NaN, poisoning the carry for any
-        # downstream consumer (diagnostics, checkpoint/resume).
-        eons = eons + jnp.where(c > 0, c * eps, 0.0)
+        now = jnp.asarray(it + 1, eps.dtype)
+        prev = jnp.maximum(now - period, 0.0)
+        c = jnp.floor(now / eps) - jnp.floor(prev / eps)
         coef = coef * c
-        grad = jnp.clip(jnp.einsum("ijk,ij->ik", diff, coef), -4.0, 4.0)
-        return grad, eons, c
+        # VPU multiply+reduce, NOT einsum: a dot_general over the tiny d=2
+        # contraction would put the loop body in transposed {0,1:T(2,128)}
+        # layouts with (n,2)/(n,W) layout copies around every step.
+        grad = jnp.clip(jnp.sum(diff * coef[:, :, None], axis=1), -4.0, 4.0)
+        return grad, c
 
     def _attractive_gradients_bands(self, Z, consts, carry, it):
         """Band-scheduled attraction: step t visits the row prefix holding
@@ -397,27 +424,28 @@ class UMAP(NegativeSamplingNeighborEmbedding):
         static prefix widths. Expected gathered-edge count per step is
         Σ_b W_b/2^b instead of the full width; strong edges (band 0) are
         visited every step so the neighbor mass sees no burst quantization.
+
+        A column c edge is visited exactly at the steps t ≡ 0 (mod
+        2^z_first(c)), z_first(c) = first z with widths[z] > c — a fixed
+        per-column period (``band_period``), so _attr_core's closed-form
+        burst count applies with no eons carry.
         """
         widths = consts["band_widths"]
         NN_full = consts["NN"]
         eps_full = consts["epochs_per_sample"]
-        eons_full = carry["epoch_of_next_sample"]
+        per_full = consts["band_period"]
         n = NN_full.shape[0]
 
         uniq = sorted(set(widths))
         z_to_branch = jnp.asarray([uniq.index(w) for w in widths], jnp.int32)
 
         def make_branch(Wz):
-            def branch(Z, eons_full):
+            def branch(Z):
                 NN = lax.slice(NN_full, (0, 0), (n, Wz))
                 eps = lax.slice(eps_full, (0, 0), (n, Wz))
-                eons = lax.slice(eons_full, (0, 0), (n, Wz))
-                grad, eons_new, c = self._attr_core(Z, NN, eps, eons, it)
-                return (
-                    grad,
-                    lax.dynamic_update_slice(eons_full, eons_new, (0, 0)),
-                    jnp.sum(c, axis=1),
-                )
+                per = lax.slice(per_full, (0, 0), (1, Wz))
+                grad, c = self._attr_core(Z, NN, eps, per, it)
+                return grad, jnp.sum(c, axis=1)
 
             return branch
 
@@ -425,41 +453,35 @@ class UMAP(NegativeSamplingNeighborEmbedding):
         # trailing zeros; it=0 -> popcount(-1) = 32 -> capped to the last band
         tz = lax.population_count(jnp.bitwise_and(it32, -it32) - 1)
         z = jnp.minimum(tz, len(widths) - 1)
-        grad, eons_full, fires = lax.switch(
-            z_to_branch[z], [make_branch(w) for w in uniq], Z, eons_full
+        grad, fires = lax.switch(
+            z_to_branch[z], [make_branch(w) for w in uniq], Z
         )
-        carry = dict(
-            carry, epoch_of_next_sample=eons_full, active_edges=fires[:, None]
-        )
+        carry = dict(carry, active_edges=fires[:, None])
         return grad, carry
 
     def _attractive_gradients(self, Z, consts, carry, it, key):
         if consts.get("edge_schedule") == "bands":
             return self._attractive_gradients_bands(Z, consts, carry, it)
         G = consts["edge_groups_G"]
-        W = consts["edge_group_width"]
-        eons_full = carry["epoch_of_next_sample"]
         eps_full = consts["epochs_per_sample"]
         if G > 1:
+            # stacked (G, n, W) state: the group slice is one contiguous
+            # major-axis block (see _build_consts)
             g = jnp.mod(it, G)
-            NN = lax.dynamic_slice(
-                consts["NN"], (0, g * W), (consts["NN"].shape[0], W)
-            )
-            eons = lax.dynamic_slice(eons_full, (0, g * W), (eons_full.shape[0], W))
-            eps = lax.dynamic_slice(eps_full, (0, g * W), (eps_full.shape[0], W))
+            NN = lax.dynamic_index_in_dim(consts["NN"], g, 0, keepdims=False)
+            eps = lax.dynamic_index_in_dim(eps_full, g, 0, keepdims=False)
         else:
-            NN, eons, eps = consts["NN"], eons_full, eps_full
+            NN, eps = consts["NN"], eps_full
 
         # Per-edge update schedule: stronger edges fire more often. With
         # edge groups, fires missed since the last visit are applied as one
         # catch-up burst of count c = #{due fire events} — the integrated
-        # impulse matches the reference's every-step schedule exactly.
-        grad, eons, c = self._attr_core(Z, NN, eps, eons, it)
-        if G > 1:
-            eons_full = lax.dynamic_update_slice(eons_full, eons, (0, g * W))
-        else:
-            eons_full = eons
-        carry = dict(carry, epoch_of_next_sample=eons_full, active_edges=c)
+        # impulse matches the reference's every-step schedule exactly
+        # (closed form, see _attr_core).
+        grad, c = self._attr_core(
+            Z, NN, eps, jnp.asarray(float(G), jnp.float32), it
+        )
+        carry = dict(carry, active_edges=c)
         return grad, carry
 
     def _use_fused_repulsion(self, Z, S: int) -> bool:
@@ -527,5 +549,7 @@ class UMAP(NegativeSamplingNeighborEmbedding):
         col = jnp.arange(self.n_negatives)
         coef = jnp.where(col[None, :] >= neg_counts[:, None], 0.0, coef)
 
-        grad = jnp.clip(jnp.einsum("ijk,ij->ik", diff, coef), -4.0, 4.0)
+        # VPU multiply+reduce — see _attr_core: an einsum's dot_general
+        # forces transposed layouts over the whole loop body
+        grad = jnp.clip(jnp.sum(diff * coef[:, :, None], axis=1), -4.0, 4.0)
         return grad, carry
